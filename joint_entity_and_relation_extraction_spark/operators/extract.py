@@ -1,0 +1,185 @@
+"""Extraction stages X1–X8 (SURVEY.md §2.2): html→text, sentence split,
+joint NER + relation inference, triple emission.
+
+Spark-first layout: the only Python on the path is three Arrow-vectorized
+stages (extractor pandas_udf, sentence-split pandas_udf, model
+mapInPandas); everything else — explode, element_at, slice/concat_ws
+surface reconstruction — is built-in Catalyst expressions inside
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, DoubleType, IntegerType, StringType,
+                               StructField, StructType)
+
+from ..functions import text as T
+
+# --- X1: html → text --------------------------------------------------------
+
+
+@F.pandas_udf(StringType())
+def html_to_text_udf(html: pd.Series) -> pd.Series:
+    """Vectorized Arrow batch in, per-element stdlib-parser extraction
+    inside the batch (string expressions cannot parse HTML; SURVEY.md §2.2
+    X1 provenance note). Byte-identity vs the oracle is test T1."""
+    return html.map(T.html_to_text)
+
+
+def extract_text(web_pages: DataFrame) -> DataFrame:
+    """web_pages → extracted(url, warc_ts, lang, text, text_sha, n_chars).
+
+    ``text_sha`` (sha2 over the utf-8 text, computed JVM-side) is the
+    per-url byte-identity witness recorded in lineage and goldens.
+    """
+    return (
+        web_pages
+        .withColumn("text", html_to_text_udf(F.col("html")))
+        .select(
+            "url", "warc_ts", "lang", "text",
+            F.sha2(F.col("text").cast("binary"), 256).alias("text_sha"),
+            F.length("text").cast("int").alias("n_chars"),
+        )
+    )
+
+
+def lang_filter(extracted: DataFrame, lang: str = "en") -> DataFrame:
+    """X2 — trivially pushed down by Catalyst when applied before wide ops."""
+    return extracted.filter(F.col("lang") == lang)
+
+
+# --- X3/X4: sentence split + tokenize --------------------------------------
+
+SENT_STRUCT = StructType([
+    StructField("sent_id", IntegerType(), False),
+    StructField("char_start", IntegerType(), False),
+    StructField("char_end", IntegerType(), False),
+    StructField("tokens", ArrayType(StringType(), False), False),
+])
+
+
+@F.pandas_udf(ArrayType(SENT_STRUCT))
+def sentences_udf(text: pd.Series) -> pd.Series:
+    return text.map(lambda t: T.sentences(t) if t else [])
+
+
+def split_sentences(extracted: DataFrame) -> DataFrame:
+    """extracted → sentences(url, sent_id, char_start, char_end, tokens).
+    Deterministic segmentation + chunking to SENT_MAX_TOKENS, exploded to
+    one row per sentence (built-in generator, no lateral Python)."""
+    return (
+        extracted
+        .select("url", F.explode(sentences_udf(F.col("text"))).alias("s"))
+        .select(
+            "url",
+            F.col("s.sent_id").alias("sent_id"),
+            F.col("s.char_start").alias("char_start"),
+            F.col("s.char_end").alias("char_end"),
+            F.col("s.tokens").alias("tokens"),
+        )
+    )
+
+
+# --- X5–X7: joint model inference ------------------------------------------
+
+MENTION_STRUCT = StructType([
+    StructField("start", IntegerType(), False),
+    StructField("end", IntegerType(), False),
+    StructField("label", StringType(), False),
+    StructField("score", DoubleType(), False),
+])
+RELATION_STRUCT = StructType([
+    StructField("head", IntegerType(), False),
+    StructField("tail", IntegerType(), False),
+    StructField("pred", StringType(), False),
+    StructField("score", DoubleType(), False),
+])
+
+INFERRED_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("sent_id", IntegerType(), False),
+    StructField("tokens", ArrayType(StringType(), False), False),
+    StructField("mentions", ArrayType(MENTION_STRUCT), False),
+    StructField("relations", ArrayType(RELATION_STRUCT), False),
+])
+
+
+def _infer_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # iterator-of-batches: frozen weights materialize once per python worker
+    from ..functions import model as M
+
+    M.weights()
+    for pdf in batches:
+        ments, rels = [], []
+        for toks in pdf["tokens"]:
+            spans, pairs = M.extract_sentence(list(toks))
+            ments.append(
+                [{"start": int(s), "end": int(e), "label": lab, "score": sc}
+                 for s, e, lab, sc in spans])
+            rels.append(
+                [{"head": int(h), "tail": int(t), "pred": p, "score": sc}
+                 for h, t, p, sc in pairs])
+        yield pd.DataFrame({
+            "url": pdf["url"], "sent_id": pdf["sent_id"],
+            "tokens": pdf["tokens"], "mentions": ments, "relations": rels,
+        })
+
+
+def infer(sentences: DataFrame) -> DataFrame:
+    """sentences → inferred: one model pass per sentence emitting both the
+    NER mentions and the biaffine relation pairs (X5+X6+X7 fused — one
+    Arrow crossing, encoder runs once; SURVEY.md §2.5 iterator UDF)."""
+    return sentences.select("url", "sent_id", "tokens").mapInPandas(
+        _infer_batches, schema=INFERRED_SCHEMA
+    )
+
+
+# --- X6/X8 projections (pure built-ins) ------------------------------------
+
+
+def _surface(tokens, start, end):
+    return F.concat_ws(" ", F.slice(tokens, start + F.lit(1), end - start))
+
+
+def mentions(inferred: DataFrame) -> DataFrame:
+    """inferred → mentions(url, sent_id, m_id, start, end, label, surface,
+    score); m_id is the position in the sentence's mention list."""
+    m = inferred.select(
+        "url", "sent_id", "tokens",
+        F.posexplode("mentions").alias("m_id", "m"),
+    )
+    return m.select(
+        "url", "sent_id", "m_id",
+        F.col("m.start").alias("start"),
+        F.col("m.end").alias("end"),
+        F.col("m.label").alias("label"),
+        _surface(F.col("tokens"), F.col("m.start"), F.col("m.end")).alias("surface"),
+        F.col("m.score").alias("score"),
+    )
+
+
+def triples_raw(inferred: DataFrame) -> DataFrame:
+    """inferred → triples_raw with subject/object surfaces resolved via
+    element_at into the mention array (no join, no shuffle)."""
+    r = inferred.select(
+        "url", "sent_id", "tokens", "mentions",
+        F.explode("relations").alias("rel"),
+    )
+    subj = F.element_at("mentions", F.col("rel.head") + 1)
+    obj = F.element_at("mentions", F.col("rel.tail") + 1)
+    return r.select(
+        "url", "sent_id",
+        F.col("rel.head").alias("subj_m"),
+        F.col("rel.tail").alias("obj_m"),
+        _surface(F.col("tokens"), subj["start"], subj["end"]).alias("subj_surface"),
+        subj["label"].alias("subj_label"),
+        F.col("rel.pred").alias("pred"),
+        _surface(F.col("tokens"), obj["start"], obj["end"]).alias("obj_surface"),
+        obj["label"].alias("obj_label"),
+        F.col("rel.score").alias("score"),
+    )

@@ -1,0 +1,59 @@
+"""web_pages fixture table as a Spark stage (FIXTURES.md §2).
+
+Derives the BASELINE.json input-hint table
+``(url, warc_ts, html:binary, text, lang)`` from the driver-provided
+``documents`` parquet, deterministically (no external data). The HTML
+synthesis kernel is shared with the pandas oracle
+(functions/webgen.py), so both paths see identical bytes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (BinaryType, StringType, StructField,
+                               StructType, TimestampType)
+
+from ..functions import webgen
+from ..sources.io import read_table
+
+WEB_PAGES_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("warc_ts", TimestampType(), False),
+    StructField("html", BinaryType(), False),
+    StructField("text", StringType(), True),
+    StructField("lang", StringType(), True),
+])
+
+
+def _gen(skew: bool):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                webgen.web_page_row(r.doc_id, r.text, r.lang, r.source, skew=skew)
+                for r in pdf.itertuples(index=False)
+            ]
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+    return gen
+
+
+def web_pages(spark: SparkSession, sf_dir: str, skew: bool = False,
+              num_partitions: int | None = None) -> DataFrame:
+    """documents → web_pages via an Arrow mapInPandas stage.
+
+    Column-pruned scan (only the 4 needed columns reach the parquet
+    reader); repartitioned by url hash so downstream per-page work spreads
+    independently of source-file layout — at 100 TB this is the scan-side
+    parallelism knob (SURVEY.md §4.4).
+    """
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    if num_partitions:
+        docs = docs.repartition(num_partitions, F.col("doc_id"))
+    return docs.mapInPandas(_gen(skew), schema=WEB_PAGES_SCHEMA)

@@ -1,0 +1,59 @@
+"""SparkSession factory with the engine's scale-oriented defaults.
+
+Single place where execution knobs live so bench/tests/jobs agree
+(SURVEY.md §4). On a real cluster the same builder is used under
+spark-submit — master comes from the environment then.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    master: str | None = None,
+    app_name: str = "jers-kg",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[32]")
+    cores = _master_cores(master)
+    b = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow is the JVM↔Python boundary for every UDF stage
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # model stage batch economics (SURVEY.md §4.3): ~1k sentences/batch
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        # AQE: runtime coalesce + skew-join split (hot domains/entities)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # shuffle width: ~2x cores locally; AQE coalesces down
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 2 * cores))
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        # python workers: keep numpy single-threaded (parallelism = partitions)
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+    )
+    if master:
+        b = b.master(master)
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
+
+
+def _master_cores(master: str) -> int:
+    if master.startswith("local["):
+        inner = master[len("local["):-1]
+        if inner == "*":
+            return os.cpu_count() or 8
+        try:
+            return int(inner)
+        except ValueError:
+            return 8
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))

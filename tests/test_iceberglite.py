@@ -1,0 +1,66 @@
+"""IcebergLite semantics: append, snapshot pinning, dynamic-partition
+overwrite, manifest-side partition pruning (SURVEY.md §2.1 SRC2/SNK1/SNK2)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from joint_entity_and_relation_extraction_spark.sources import iceberglite as il
+
+
+@pytest.fixture()
+def tbl(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k string, v int")
+
+
+def test_append_and_snapshot_pinning(spark, tbl):
+    s1 = il.append(_df(spark, [("a", 1), ("b", 2)]), tbl, ["k"])
+    s2 = il.append(_df(spark, [("a", 3)]), tbl, ["k"])
+    assert il.current_snapshot(tbl) == s2
+    assert il.read(spark, tbl).count() == 3
+    # time travel to the first snapshot
+    assert il.read(spark, tbl, snapshot=s1).count() == 2
+    ops = [s["operation"] for s in il.snapshots(tbl)]
+    assert ops == ["append", "append"]
+
+
+def test_overwrite_partitions_keeps_untouched(spark, tbl):
+    il.append(_df(spark, [("a", 1), ("b", 2)]), tbl, ["k"])
+    il.overwrite_partitions(_df(spark, [("a", 99)]), tbl, ["k"])
+    got = {(r.k, r.v) for r in il.read(spark, tbl).collect()}
+    assert got == {("a", 99), ("b", 2)}
+
+
+def test_manifest_side_pruning_lists_only_matching(spark, tbl):
+    il.append(_df(spark, [("a", 1), ("b", 2), ("c", 3)]), tbl, ["k"])
+    df = il.read(spark, tbl, where={"k": "b"})
+    assert [r.v for r in df.collect()] == [2]
+    # the pruned plan must not reference other partitions' files
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "k=b" in plan or "b" in str(df.inputFiles())
+    assert all("k=a" not in f for f in df.inputFiles())
+
+
+def test_partitions_listing(spark, tbl):
+    il.append(_df(spark, [("a", 1), ("b", 2)]), tbl, ["k"])
+    assert sorted(p["k"] for p in il.partitions(tbl)) == ["a", "b"]
+
+
+def test_atomic_commit_no_partial_state(spark, tbl):
+    il.append(_df(spark, [("a", 1)]), tbl, ["k"])
+    m_before = il._load(tbl)
+    # a crashed write (files on disk, no commit) must be invisible
+    snap_dir = os.path.join(tbl, "data", "snap-999")
+    _df(spark, [("z", 0)]).write.partitionBy("k").parquet(snap_dir)
+    assert il._load(tbl) == m_before
+    assert il.read(spark, tbl).count() == 1
+
+
+def test_unpartitioned_roundtrip(spark, tbl):
+    il.append(_df(spark, [("a", 1), ("b", 2)]), tbl, [])
+    assert il.read(spark, tbl).count() == 2
