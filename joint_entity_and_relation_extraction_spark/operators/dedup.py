@@ -1,0 +1,296 @@
+"""Deduplication operators over the ``documents`` corpus — the ops a
+large-scale training-data pipeline needs (task brief): exact, word-n-gram
+Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+Scale notes: every variant is candidate-generation-by-equi-join (hash
+shuffle on a blocking key) + verify — never an O(n²) cross join. The only
+Python is the MinHash/SimHash signature computation, a vectorized numpy
+pandas_udf; shingling, banding, pair join and Jaccard verification are all
+built-in Catalyst expressions.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from ..sources.io import read_table
+
+# --- shingling (built-ins only) --------------------------------------------
+
+
+def _shingles_expr(n: int):
+    """Distinct word n-gram shingles as array<string> — one whole-stage-
+    codegen projection (split → transform over index sequence → slice →
+    array_distinct), guarded for texts shorter than n words."""
+    return F.expr(
+        f"CASE WHEN size(split(text, ' ')) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, size(split(text, ' ')) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(split(text, ' '), i, {n})))) "
+        f"ELSE array() END"
+    )
+
+
+# --- exact dedup ------------------------------------------------------------
+
+
+def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups: hash(text) → group. At 100 TB this is the
+    classic map-side-combinable groupBy on a 128-bit fingerprint."""
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5(F.col("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+SQL_EXACT_DEDUP = """
+SELECT MD5(text) AS fp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS keep_doc_id
+FROM documents GROUP BY MD5(text)
+"""
+
+
+# --- n-gram Jaccard (built-ins, oracle-able) --------------------------------
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, n: int = 2,
+                        threshold: float = 0.2) -> DataFrame:
+    """Candidate pairs via shared-shingle equi-join (shuffle on shingle),
+    Jaccard from per-doc shingle counts — |A∩B| arrives from the join
+    group size, so no array intersection is ever materialized.
+    """
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", _shingles_expr(n).alias("sh"))
+    sizes = d.select("doc_id", F.size("sh").alias("n_sh"))
+    ex = d.select("doc_id", F.explode("sh").alias("shingle"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        pairs.join(sa, F.col("d1") == F.col("sa.doc_id"))
+        .join(sb, F.col("d2") == F.col("sb.doc_id"))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter").cast("double")
+                    / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", F.col("inter").alias("n_common"), "jaccard")
+    )
+
+
+def sql_ngram_jaccard(n: int = 2, threshold: float = 0.2) -> str:
+    return f"""
+WITH sh AS (
+  SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+    GENERATE_SERIES(1, GREATEST(LEN(words) - {n - 1}, 0)),
+    i -> ARRAY_TO_STRING(words[i:i+{n - 1}], ' ')
+  ))) AS shingle
+  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS words FROM documents)
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_sh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id d1, b.doc_id d2, CAST(COUNT(*) AS BIGINT) n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT d1, d2, n_common,
+       ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM pairs JOIN sizes sa ON d1 = sa.doc_id JOIN sizes sb ON d2 = sb.doc_id
+WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= {threshold}
+"""
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+
+NUM_HASHES = 64
+BANDS = 16
+ROWS_PER_BAND = NUM_HASHES // BANDS
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(seed: int = 42):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=NUM_HASHES, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=NUM_HASHES, dtype=np.int64)
+    return a, b
+
+
+@F.pandas_udf(ArrayType(LongType()))
+def minhash_bands_udf(shingles: pd.Series) -> pd.Series:
+    """64 universal-hash minima over FNV-hashed shingles, folded into 16
+    band keys (4 rows/band). Vectorized numpy per document; band key mixes
+    the band index so keys from different bands never collide."""
+    from ..functions.text import fnv1a64
+
+    a, b = _minhash_params()
+
+    def sig(sh_list) -> list[int]:
+        if sh_list is None or len(sh_list) == 0:
+            return []
+        h = np.array([fnv1a64(s) & 0x7FFFFFFFFFFFFFFF for s in sh_list],
+                     dtype=np.uint64)
+        # (NUM_HASHES, n) universal hashing mod Mersenne prime
+        vals = (h[None, :] * a.astype(np.uint64)[:, None]
+                + b.astype(np.uint64)[:, None]) % np.uint64(_MERSENNE)
+        mins = vals.min(axis=1)  # (NUM_HASHES,)
+        bands = []
+        for bi in range(BANDS):
+            chunk = mins[bi * ROWS_PER_BAND:(bi + 1) * ROWS_PER_BAND]
+            key = np.uint64(fnv1a64(f"band{bi}"))
+            for v in chunk:
+                key = (key * np.uint64(1099511628211)) ^ np.uint64(v)
+            bands.append(int(key & np.uint64(0x7FFFFFFFFFFFFFFF)))
+        return bands
+
+    return shingles.map(sig)
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, n: int = 2,
+                      threshold: float = 0.2) -> DataFrame:
+    """MinHash-LSH near-dup pairs: shingle → 64 minhashes → 16 banded keys
+    → equi-join on (band position, key) → exact-Jaccard verify of the
+    candidates only. The band join is the scale path: shuffle keys are
+    uniform hashes, so no skew; candidate count ≈ true-pair count at the
+    chosen (b, r) S-curve.
+    """
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", _shingles_expr(n).alias("sh"))
+    banded = d.select(
+        "doc_id", "sh", F.posexplode(minhash_bands_udf(F.col("sh"))).alias(
+            "band", "key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"),
+                F.col("a.sh").alias("sh1"), F.col("b.sh").alias("sh2"))
+        .dropDuplicates(["d1", "d2"])
+    )
+    inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
+    union = (F.size("sh1") + F.size("sh2")).cast("double") - inter
+    return (
+        cand.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+# --- SimHash ----------------------------------------------------------------
+
+SIMHASH_BITS = 64
+SIMHASH_CHUNKS = 4  # 4 x 16-bit chunks; hamming<=3 pairs share >=1 chunk
+
+
+@F.pandas_udf(LongType())
+def simhash_udf(text: pd.Series) -> pd.Series:
+    """64-bit SimHash over word FNV hashes weighted by term frequency."""
+    from ..functions.text import fnv1a64
+
+    def sim(t: str) -> int:
+        if not t:
+            return 0
+        words, counts = np.unique(t.split(" "), return_counts=True)
+        hs = np.array([fnv1a64(w) for w in words], dtype=np.uint64)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)).astype(np.int64)
+        v = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
+        out = np.uint64(0)
+        for i in range(64):
+            if v[i] > 0:
+                out |= np.uint64(1) << np.uint64(i)
+        return int(out & np.uint64(0x7FFFFFFFFFFFFFFF))
+
+    return text.map(sim)
+
+
+def simhash_pairs(spark: SparkSession, sf_dir: str,
+                  max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs with chunk blocking: by pigeonhole, any pair
+    within hamming distance 3 agrees on at least one of the 4 16-bit
+    chunks — join on (chunk index, chunk value), verify with bit_count."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", simhash_udf(F.col("text")).alias("sh"))
+    chunks = d.select(
+        "doc_id", "sh",
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned(F.col("sh"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+            for i in range(SIMHASH_CHUNKS)
+        ])).alias("chunk_idx", "chunk"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    return (
+        a.join(b, (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+               & (F.col("a.chunk") == F.col("b.chunk"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"),
+                ham.cast("int").alias("hamming"))
+        .dropDuplicates(["d1", "d2"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# --- embedding cosine near-dup ---------------------------------------------
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str,
+                            threshold: float = 0.3) -> DataFrame:
+    """Embedding-cosine near-dup within label blocks (blocked pairwise —
+    the oracle-checkable baseline; the unblocked scale path is the LSH
+    variant in similarity.py)."""
+    e = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"))
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = F.round(
+        _dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a.norm") * F.col("b.norm")), 6)
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("a.vec_id").alias("v1"), F.col("b.vec_id").alias("v2"),
+                F.col("a.label").alias("label"), "cos")
+    )
+
+
+def sql_embedding_neardup(threshold: float = 0.3) -> str:
+    return f"""
+WITH norms AS (
+  SELECT vec_id, label, embedding,
+         SQRT((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+               FROM UNNEST(embedding) AS t(x))) AS nrm
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id v1, b.vec_id v2, a.label AS "label",
+         (SELECT SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE))
+          FROM (SELECT UNNEST(a.embedding) xa, UNNEST(b.embedding) xb))
+           / (a.nrm * b.nrm) AS c
+  FROM norms a JOIN norms b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT v1, v2, label, ROUND(c, 6) AS cos FROM pairs WHERE ROUND(c, 6) >= {threshold}
+"""

@@ -1,0 +1,89 @@
+"""Multimodal column plumbing (task brief): image/audio/video as opaque
+``binary`` columns with typed metadata, decode/feature-extract as Arrow
+batch stages.
+
+The container ships no image/audio libraries, so the decode kernel is
+STUBBED: ``decode_image_real`` raises NotImplementedError, and the wired-up
+stage uses a deterministic fake (features derived from the bytes' sha256)
+so the Spark-side plumbing — schema, batch shape, partitioning, UDF
+signature — is real and tested end-to-end. Swap ``_FAKE_DECODE`` for a
+Pillow/ffmpeg call on a real cluster; nothing else changes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, FloatType, IntegerType, LongType,
+                               StringType, StructField, StructType)
+
+from .webpages import web_pages
+
+BINARY_META_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("n_bytes", LongType(), False),
+    StructField("sha256", StringType(), False),
+    StructField("magic", StringType(), True),
+])
+
+
+def binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over an opaque binary column — pure built-ins
+    (length/sha2/hex run JVM-side on BinaryType)."""
+    wp = web_pages(spark, sf_dir)
+    return wp.select(
+        "url",
+        F.length("html").cast("bigint").alias("n_bytes"),
+        F.lower(F.sha2(F.col("html"), 256)).alias("sha256"),
+        F.hex(F.substring(F.col("html"), 1, 4)).alias("magic"),
+    )
+
+
+def decode_image_real(data: bytes) -> np.ndarray:
+    """Real decoder slot — requires an image library absent from this
+    container (SURVEY.md §0.4)."""
+    raise NotImplementedError(
+        "image decode requires Pillow/cv2 (not in sandbox); "
+        "the pipeline uses the deterministic fake below")
+
+
+def _fake_decode(data: bytes) -> tuple[int, int, list[float]]:
+    """Deterministic stand-in: pseudo width/height + an 8-dim feature from
+    the content hash — preserves the real decoder's output shape."""
+    digest = hashlib.sha256(data).digest()
+    width = 64 + digest[0]
+    height = 64 + digest[1]
+    feat = [round(b / 255.0, 6) for b in digest[2:10]]
+    return width, height, feat
+
+
+FEATURES_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("width", IntegerType(), False),
+    StructField("height", IntegerType(), False),
+    StructField("feature", ArrayType(FloatType()), False),
+])
+
+
+def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        w, h, f = [], [], []
+        for blob in pdf["html"]:
+            wd, ht, ft = _fake_decode(bytes(blob))
+            w.append(wd)
+            h.append(ht)
+            f.append(ft)
+        yield pd.DataFrame({"url": pdf["url"], "width": w, "height": h,
+                            "feature": f})
+
+
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary → features via mapInPandas (Arrow batches; decoder isolated
+    per batch so one corrupt blob can't poison a partition)."""
+    wp = web_pages(spark, sf_dir).select("url", "html")
+    return wp.mapInPandas(_decode_batches, schema=FEATURES_SCHEMA)

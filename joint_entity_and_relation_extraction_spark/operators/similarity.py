@@ -1,0 +1,133 @@
+"""Similarity search over the embedding column (task brief): brute-force
+cosine top-k as the exact baseline, random-hyperplane-LSH bucketed variant
+as the scale path.
+
+Scale notes: brute force is a broadcast of the (small) query set against a
+partitioned corpus scan — no shuffle until the final per-query top-k, which
+aggregates map-side. The LSH variant turns the O(|Q|·|C|) scan into an
+equi-join on bucket signatures; recall vs the exact baseline is
+property-tested (tests/test_dedup_similarity.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from ..sources.io import read_table
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _with_norm(df: DataFrame) -> DataFrame:
+    return df.withColumn("norm", F.sqrt(_dot(F.col("embedding"), F.col("embedding"))))
+
+
+def ann_bruteforce(spark: SparkSession, sf_dir: str, n_queries: int = 8,
+                   k: int = 5) -> DataFrame:
+    """Exact cosine top-k: broadcast the query vectors, fold the dot
+    product JVM-side (zip_with/aggregate in doubles), rank on the rounded
+    similarity with vec_id tie-break so ordering is total."""
+    e = _with_norm(read_table(spark, sf_dir, "embeddings"))
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
+            F.col("norm").alias("qnorm")))
+    cos = F.round(_dot(F.col("qe"), F.col("embedding"))
+                  / (F.col("qnorm") * F.col("norm")), 6)
+    scored = (
+        q.crossJoin(e)
+        .filter(F.col("qid") != F.col("vec_id"))
+        .select("qid", F.col("vec_id").alias("nid"), cos.alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "cos", "rank")
+    )
+
+
+def sql_ann_bruteforce(n_queries: int = 8, k: int = 5) -> str:
+    return f"""
+WITH norms AS (
+  SELECT vec_id, embedding,
+         SQRT((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+               FROM UNNEST(embedding) AS t(x))) AS nrm
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id qid, v.vec_id nid,
+         ROUND((SELECT SUM(CAST(xa AS DOUBLE) * CAST(xb AS DOUBLE))
+                FROM (SELECT UNNEST(q.embedding) xa, UNNEST(v.embedding) xb))
+               / (q.nrm * v.nrm), 6) AS cos
+  FROM norms q JOIN norms v ON q.vec_id <> v.vec_id
+  WHERE q.vec_id < {n_queries}
+)
+SELECT qid, nid, cos, rank FROM (
+  SELECT qid, nid, cos,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+# --- random hyperplane LSH (scale path) -------------------------------------
+
+N_PLANES = 16       # bits per signature
+N_TABLES = 8        # independent hash tables (OR-amplification)
+
+
+def _planes(dim: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((N_TABLES, N_PLANES, dim))
+
+
+@F.pandas_udf(ArrayType(LongType()))
+def hyperplane_sigs_udf(embedding: pd.Series) -> pd.Series:
+    """N_TABLES signature keys per vector; vectorized over the Arrow batch
+    (one matmul for the whole batch, not per row)."""
+    mat = np.array([np.asarray(v, dtype=np.float64) for v in embedding])
+    if mat.size == 0:
+        return pd.Series([], dtype=object)
+    planes = _planes(mat.shape[1])
+    keys = []
+    bits_all = (np.einsum("tpd,nd->tnp", planes, mat) > 0).astype(np.int64)
+    weights = 1 << np.arange(N_PLANES, dtype=np.int64)
+    sig = (bits_all * weights[None, None, :]).sum(axis=2)  # (T, n)
+    for i in range(mat.shape[0]):
+        keys.append([int(t) << 32 | int(sig[t, i]) for t in range(N_TABLES)])
+    return pd.Series(keys)
+
+
+def ann_lsh(spark: SparkSession, sf_dir: str, n_queries: int = 8,
+            k: int = 5) -> DataFrame:
+    """Approximate top-k: candidates = corpus vectors sharing ≥1 hyperplane
+    bucket with the query (equi-join on signature), exact cosine re-rank
+    within candidates. At 10^12 rows the bucket join replaces the full
+    scan; signatures are computed once and reusable across query batches."""
+    e = _with_norm(read_table(spark, sf_dir, "embeddings")).withColumn(
+        "sig", F.explode(hyperplane_sigs_udf(F.col("embedding"))))
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
+        F.col("norm").alias("qnorm"), F.col("sig").alias("qsig"))
+    cand = (
+        q.join(e, F.col("qsig") == F.col("sig"))
+        .filter(F.col("qid") != F.col("vec_id"))
+        .dropDuplicates(["qid", "vec_id"])
+    )
+    cos = F.round(_dot(F.col("qe"), F.col("embedding"))
+                  / (F.col("qnorm") * F.col("norm")), 6)
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        cand.select("qid", F.col("vec_id").alias("nid"), cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,688 @@
+"""Relational operator corpus (SURVEY.md §2.4) — every category as a named
+query over the driver testdata tables, paired with an ANSI-SQL DuckDB
+oracle string.
+
+Cross-engine determinism rules applied throughout (SURVEY.md §7 hard
+part 6):
+- money aggregates: SUM over DECIMAL(18,2) casts (exact), cast back to
+  double at the end — bitwise identical in both engines;
+- ranking windows: total ordering via explicit tie-break keys;
+- ranking/count functions cast to bigint (DuckDB returns BIGINT, Spark INT);
+- transcendentals avoided or rounded to 6 dp; sqrt/abs/pow-int are exactly
+  rounded IEEE ops and safe raw;
+- every computed column aliased identically on both sides (driver hashes
+  sort columns by name).
+
+Each function takes (spark, sf_dir) and builds a declarative DataFrame plan
+— Catalyst handles pushdown/pruning/join selection; hints only where the
+category demands a specific physical join (MERGE / SHUFFLE_HASH).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.io import read_table
+
+
+def _dec_sum(col: str, alias: str):
+    """Exact money sum: decimal(18,2) accumulate → double result."""
+    return F.sum(F.col(col).cast("decimal(18,2)")).cast("double").alias(alias)
+
+
+# --- scans / projection / filter -------------------------------------------
+
+def q_scan_project(spark, sf):
+    return read_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+    )
+
+
+SQL_SCAN_PROJECT = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS net_price
+FROM lineitem
+"""
+
+
+def q_filter_pushdown(spark, sf):
+    li = read_table(spark, sf, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") > 30)
+        & F.col("l_returnflag").isin("A", "R")
+        & F.col("l_shipdate").isNotNull()
+        & (F.col("l_discount") >= 0.05)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+SQL_FILTER_PUSHDOWN = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+FROM lineitem
+WHERE l_quantity > 30 AND l_returnflag IN ('A', 'R')
+  AND l_shipdate IS NOT NULL AND l_discount >= 0.05
+"""
+
+
+# --- joins ------------------------------------------------------------------
+
+def q_join_broadcast(spark, sf):
+    c = read_table(spark, sf, "customer")
+    n = read_table(spark, sf, "nation")
+    r = read_table(spark, sf, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_customers"),
+             _dec_sum("c_acctbal", "sum_acctbal"))
+    )
+
+
+SQL_JOIN_BROADCAST = """
+SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_join_sortmerge(spark, sf):
+    o = read_table(spark, sf, "orders").hint("merge")
+    li = read_table(spark, sf, "lineitem")
+    return o.join(li, o.o_orderkey == li.l_orderkey).select(
+        "o_orderkey", "l_linenumber", "o_totalprice", "l_quantity")
+
+
+SQL_JOIN_SORTMERGE = """
+SELECT o_orderkey, l_linenumber, o_totalprice, l_quantity
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+"""
+
+
+def q_join_shuffledhash(spark, sf):
+    p = read_table(spark, sf, "part").hint("shuffle_hash")
+    li = read_table(spark, sf, "lineitem")
+    return p.join(li, p.p_partkey == li.l_partkey).groupBy("p_brand").agg(
+        F.count("*").alias("n_lines"), _dec_sum("l_quantity", "sum_qty"))
+
+
+SQL_JOIN_SHUFFLEDHASH = """
+SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM part JOIN lineitem ON p_partkey = l_partkey
+GROUP BY p_brand
+"""
+
+
+def q_join_left(spark, sf):
+    c = read_table(spark, sf, "customer")
+    o = read_table(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+SQL_JOIN_LEFT = """
+SELECT c_custkey, c_name, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+"""
+
+
+def q_join_full(spark, sf):
+    n = read_table(spark, sf, "nation")
+    s = read_table(spark, sf, "supplier")
+    return n.join(s, n.n_nationkey == s.s_nationkey, "full").select(
+        "n_nationkey", "n_name", "s_suppkey", "s_name")
+
+
+SQL_JOIN_FULL = """
+SELECT n_nationkey, n_name, s_suppkey, s_name
+FROM nation FULL JOIN supplier ON n_nationkey = s_nationkey
+"""
+
+
+def q_join_semi(spark, sf):
+    c = read_table(spark, sf, "customer")
+    o = read_table(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name")
+
+
+SQL_JOIN_SEMI = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE c.c_custkey = o.o_custkey)
+"""
+
+
+def q_join_anti(spark, sf):
+    c = read_table(spark, sf, "customer")
+    o = read_table(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_acctbal")
+
+
+SQL_JOIN_ANTI = """
+SELECT c_custkey, c_acctbal FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE c.c_custkey = o.o_custkey)
+"""
+
+
+def q_join_theta(spark, sf):
+    """Non-equi (banded range) join → BroadcastNestedLoopJoin physically."""
+    p = read_table(spark, sf, "part")
+    r = F.broadcast(read_table(spark, sf, "region"))
+    cond = (p.p_size >= r.r_regionkey * 10) & (p.p_size < (r.r_regionkey + 1) * 10)
+    return p.join(r, cond).select("p_partkey", "p_size", "r_name")
+
+
+SQL_JOIN_THETA = """
+SELECT p_partkey, p_size, r_name
+FROM part JOIN region
+  ON p_size >= r_regionkey * 10 AND p_size < (r_regionkey + 1) * 10
+"""
+
+
+def q_join_asof(spark, sf):
+    """As-of: latest order (by o_orderdate) per event with o_custkey =
+    user_id and o_orderdate <= ts. Spark has no native ASOF join — composed
+    as equi-join + range predicate + row_number top-1 (SURVEY.md §2.4)."""
+    e = read_table(spark, sf, "events")
+    o = read_table(spark, sf, "orders")
+    j = e.join(o, (e.user_id == o.o_custkey) & (o.o_orderdate <= e.ts))
+    w = Window.partitionBy("event_id").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "o_orderkey", "o_orderdate")
+    )
+
+
+SQL_JOIN_ASOF = """
+SELECT event_id, user_id, o_orderkey, o_orderdate FROM (
+  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) rn
+  FROM events e JOIN orders o
+    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+) WHERE rn = 1
+"""
+
+
+# --- aggregation ------------------------------------------------------------
+
+def q_agg_group_multi(spark, sf):
+    li = read_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dec_sum("l_quantity", "sum_qty"),
+        _dec_sum("l_extendedprice", "sum_price"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+SQL_AGG_GROUP_MULTI = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_agg_count_distinct(spark, sf):
+    li = read_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+    )
+
+
+SQL_AGG_COUNT_DISTINCT = """
+SELECT l_returnflag, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_part
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_agg_approx_distinct(spark, sf):
+    """HLL++ sketch — estimator differs from any exact oracle by design;
+    driver records the weaker rows-only check (SURVEY.md §2.4)."""
+    li = read_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"))
+
+
+def q_agg_rollup(spark, sf):
+    li = read_table(spark, sf, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        _dec_sum("l_quantity", "sum_qty"), F.count("*").alias("n_rows"))
+
+
+SQL_AGG_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_agg_cube(spark, sf):
+    o = read_table(spark, sf, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_rows"), _dec_sum("o_totalprice", "sum_price"))
+
+
+SQL_AGG_CUBE = """
+SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# --- windows ----------------------------------------------------------------
+
+def q_window_rank(spark, sf):
+    c = read_table(spark, sf, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_mktsegment", "c_custkey", "c_acctbal",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.row_number().over(w).cast("bigint").alias("rn"),
+    )
+
+
+SQL_WINDOW_RANK = """
+SELECT c_mktsegment, c_custkey, c_acctbal,
+       RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk,
+       ROW_NUMBER() OVER w AS rn
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+"""
+
+
+def q_window_lag_lead(spark, sf):
+    e = read_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id", "event_id", "value",
+        F.lag("value", 1).over(w).alias("prev_value"),
+        F.lead("event_type", 1).over(w).alias("next_type"),
+        F.first("event_id").over(w).alias("first_event"),
+    )
+
+
+SQL_WINDOW_LAG_LEAD = """
+SELECT user_id, event_id, value,
+       LAG(value, 1) OVER w AS prev_value,
+       LEAD(event_type, 1) OVER w AS next_type,
+       FIRST_VALUE(event_id) OVER w AS first_event
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_window_frame_sum(spark, sf):
+    li = read_table(spark, sf, "lineitem")
+    w = (Window.partitionBy("l_suppkey")
+         .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+         .rowsBetween(-3, 0))
+    return li.select(
+        "l_suppkey", "l_orderkey", "l_linenumber",
+        F.sum("l_quantity").over(w).alias("qty_roll4"))
+
+
+SQL_WINDOW_FRAME_SUM = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       SUM(l_quantity) OVER (PARTITION BY l_suppkey
+           ORDER BY l_shipdate, l_orderkey, l_linenumber
+           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS qty_roll4
+FROM lineitem
+"""
+
+
+def q_sort_limit(spark, sf):
+    o = read_table(spark, sf, "orders")
+    return o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(25).select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+
+
+SQL_SORT_LIMIT = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25
+"""
+
+
+def q_window_topk_per_group(spark, sf):
+    o = read_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+SQL_WINDOW_TOPK_PER_GROUP = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+# --- set ops / dedup --------------------------------------------------------
+
+def q_set_union_all(spark, sf):
+    c = read_table(spark, sf, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey", F.lit("BUILDING").alias("bucket"))
+    b = c.filter(F.col("c_acctbal") > 5000).select(
+        "c_custkey", F.lit("RICH").alias("bucket"))
+    return a.unionByName(b)
+
+
+SQL_SET_UNION_ALL = """
+SELECT c_custkey, 'BUILDING' AS bucket FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION ALL
+SELECT c_custkey, 'RICH' AS bucket FROM customer WHERE c_acctbal > 5000
+"""
+
+
+def q_set_intersect(spark, sf):
+    c = read_table(spark, sf, "customer")
+    o = read_table(spark, sf, "orders")
+    a = c.filter(F.col("c_acctbal") > 0).select(F.col("c_custkey").alias("k"))
+    b = o.select(F.col("o_custkey").alias("k"))
+    return a.intersect(b)
+
+
+SQL_SET_INTERSECT = """
+SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0
+INTERSECT
+SELECT o_custkey AS k FROM orders
+"""
+
+
+def q_set_except(spark, sf):
+    c = read_table(spark, sf, "customer")
+    o = read_table(spark, sf, "orders")
+    a = c.select(F.col("c_custkey").alias("k"))
+    b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
+    return a.exceptAll(b).distinct()
+
+
+SQL_SET_EXCEPT = """
+SELECT DISTINCT k FROM (
+  SELECT c_custkey AS k FROM customer
+  EXCEPT ALL
+  SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+)
+"""
+
+
+def q_distinct_rows(spark, sf):
+    li = read_table(spark, sf, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").dropDuplicates()
+
+
+SQL_DISTINCT_ROWS = """
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+"""
+
+
+# --- scalar function families ----------------------------------------------
+
+def q_string_funcs(spark, sf):
+    c = read_table(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.lower("c_name").alias("lname"),
+        F.upper("c_mktsegment").alias("useg"),
+        F.substring("c_name", 1, 10).alias("prefix10"),
+        F.concat_ws("-", "c_mktsegment", F.col("c_nationkey").cast("string")).alias("seg_nat"),
+        F.regexp_extract("c_name", r"(\d+)", 1).alias("digits"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.levenshtein(F.lit("Customer#000000000"), F.col("c_name")).cast("bigint").alias("lev"),
+        F.trim(F.lit("  x  ")).alias("trimmed"),
+    )
+
+
+SQL_STRING_FUNCS = r"""
+SELECT c_custkey, LOWER(c_name) AS lname, UPPER(c_mktsegment) AS useg,
+       SUBSTRING(c_name, 1, 10) AS prefix10,
+       CONCAT_WS('-', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nat,
+       REGEXP_EXTRACT(c_name, '(\d+)', 1) AS digits,
+       CAST(LENGTH(c_name) AS BIGINT) AS name_len,
+       CAST(LEVENSHTEIN('Customer#000000000', c_name) AS BIGINT) AS lev,
+       TRIM('  x  ') AS trimmed
+FROM customer
+"""
+
+
+def q_date_funcs(spark, sf):
+    li = read_table(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.year("l_shipdate").cast("bigint").alias("ship_year"),
+        F.month("l_shipdate").cast("bigint").alias("ship_month"),
+        F.dayofmonth("l_shipdate").cast("bigint").alias("ship_day"),
+        F.date_trunc("month", "l_shipdate").alias("ship_month_start"),
+        F.datediff(F.col("l_shipdate"),
+                   F.lit("1995-01-01").cast("date")).cast("bigint").alias("days_since_95"),
+    )
+
+
+SQL_DATE_FUNCS = """
+SELECT l_orderkey, l_linenumber,
+       CAST(YEAR(l_shipdate) AS BIGINT) AS ship_year,
+       CAST(MONTH(l_shipdate) AS BIGINT) AS ship_month,
+       CAST(DAY(l_shipdate) AS BIGINT) AS ship_day,
+       DATE_TRUNC('month', l_shipdate) AS ship_month_start,
+       CAST(DATEDIFF('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS BIGINT)
+         AS days_since_95
+FROM lineitem
+"""
+
+
+def q_math_funcs(spark, sf):
+    o = read_table(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.round("o_totalprice", 1).alias("price_r1"),
+        F.abs(F.col("o_totalprice") - 100000).alias("abs_diff"),
+        F.sqrt("o_totalprice").alias("price_sqrt"),
+        F.pow(F.lit(2.0), (F.col("o_orderkey") % 10).cast("double")).alias("pow2"),
+        F.floor("o_totalprice").cast("bigint").alias("price_floor"),
+        F.ceil("o_totalprice").cast("bigint").alias("price_ceil"),
+        (F.col("o_orderkey") % 7).alias("mod7"),
+        F.col("o_totalprice").cast("decimal(14,2)").cast("string").alias("price_dec"),
+    )
+
+
+SQL_MATH_FUNCS = """
+SELECT o_orderkey, ROUND(o_totalprice, 1) AS price_r1,
+       ABS(o_totalprice - 100000) AS abs_diff,
+       SQRT(o_totalprice) AS price_sqrt,
+       POW(2.0, CAST(o_orderkey % 10 AS DOUBLE)) AS pow2,
+       CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
+       CAST(CEIL(o_totalprice) AS BIGINT) AS price_ceil,
+       o_orderkey % 7 AS mod7,
+       CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS VARCHAR) AS price_dec
+FROM orders
+"""
+
+
+def q_array_funcs(spark, sf):
+    e = read_table(spark, sf, "embeddings")
+    elem = F.element_at("embedding", 1).cast("double")
+    l1 = F.aggregate(
+        F.transform("embedding", lambda x: F.abs(x.cast("double"))),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.round(elem, 6).alias("e0_r6"),
+        F.round(l1, 4).alias("l1_r4"),
+        F.col("label").cast("bigint").alias("label_l"),
+    )
+
+
+SQL_ARRAY_FUNCS = """
+SELECT vec_id, CAST(LEN(embedding) AS BIGINT) AS dim,
+       ROUND(CAST(embedding[1] AS DOUBLE), 6) AS e0_r6,
+       ROUND((SELECT SUM(ABS(CAST(x AS DOUBLE)))
+              FROM UNNEST(embedding) AS t(x)), 4) AS l1_r4,
+       CAST(label AS BIGINT) AS label_l
+FROM embeddings
+"""
+
+
+def q_json_funcs(spark, sf):
+    e = read_table(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_int"),
+    )
+
+
+SQL_JSON_FUNCS = """
+SELECT event_id, JSON_EXTRACT_STRING(props, '$.k') AS k_str,
+       CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k_int
+FROM events
+"""
+
+
+def q_explode_array(spark, sf):
+    d = read_table(spark, sf, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+SQL_EXPLODE_ARRAY = """
+SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+  SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents
+) WHERE word <> '' GROUP BY word
+"""
+
+
+def q_pivot_event_type(spark, sf):
+    e = read_table(spark, sf, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    p = (e.groupBy("user_id")
+         .pivot("event_type", types)
+         .agg(F.count(F.lit(1))))
+    return p.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types])
+
+
+SQL_PIVOT_EVENT_TYPE = """
+SELECT user_id,
+       CAST(COUNT(CASE WHEN event_type='click' THEN 1 END) AS BIGINT) AS n_click,
+       CAST(COUNT(CASE WHEN event_type='error' THEN 1 END) AS BIGINT) AS n_error,
+       CAST(COUNT(CASE WHEN event_type='purchase' THEN 1 END) AS BIGINT) AS n_purchase,
+       CAST(COUNT(CASE WHEN event_type='signup' THEN 1 END) AS BIGINT) AS n_signup,
+       CAST(COUNT(CASE WHEN event_type='view' THEN 1 END) AS BIGINT) AS n_view
+FROM events GROUP BY user_id
+"""
+
+
+def q_sample_frac(spark, sf):
+    """Seeded Bernoulli sample — sampler RNG differs across engines by
+    design; rows-only check."""
+    return read_table(spark, sf, "lineitem").sample(0.1, seed=42).select(
+        "l_orderkey", "l_linenumber")
+
+
+# --- registry ---------------------------------------------------------------
+
+RELATIONAL_QUERIES = {
+    "scan_project": q_scan_project,
+    "filter_pushdown": q_filter_pushdown,
+    "join_broadcast": q_join_broadcast,
+    "join_sortmerge": q_join_sortmerge,
+    "join_shuffledhash": q_join_shuffledhash,
+    "join_left": q_join_left,
+    "join_full": q_join_full,
+    "join_semi": q_join_semi,
+    "join_anti": q_join_anti,
+    "join_theta": q_join_theta,
+    "join_asof": q_join_asof,
+    "agg_group_multi": q_agg_group_multi,
+    "agg_count_distinct": q_agg_count_distinct,
+    "agg_approx_distinct": q_agg_approx_distinct,
+    "agg_rollup": q_agg_rollup,
+    "agg_cube": q_agg_cube,
+    "window_rank": q_window_rank,
+    "window_lag_lead": q_window_lag_lead,
+    "window_frame_sum": q_window_frame_sum,
+    "sort_limit": q_sort_limit,
+    "window_topk_per_group": q_window_topk_per_group,
+    "set_union_all": q_set_union_all,
+    "set_intersect": q_set_intersect,
+    "set_except": q_set_except,
+    "distinct_rows": q_distinct_rows,
+    "string_funcs": q_string_funcs,
+    "date_funcs": q_date_funcs,
+    "math_funcs": q_math_funcs,
+    "array_funcs": q_array_funcs,
+    "json_funcs": q_json_funcs,
+    "explode_array": q_explode_array,
+    "pivot_event_type": q_pivot_event_type,
+    "sample_frac": q_sample_frac,
+}
+
+RELATIONAL_ORACLE = {
+    "scan_project": SQL_SCAN_PROJECT,
+    "filter_pushdown": SQL_FILTER_PUSHDOWN,
+    "join_broadcast": SQL_JOIN_BROADCAST,
+    "join_sortmerge": SQL_JOIN_SORTMERGE,
+    "join_shuffledhash": SQL_JOIN_SHUFFLEDHASH,
+    "join_left": SQL_JOIN_LEFT,
+    "join_full": SQL_JOIN_FULL,
+    "join_semi": SQL_JOIN_SEMI,
+    "join_anti": SQL_JOIN_ANTI,
+    "join_theta": SQL_JOIN_THETA,
+    "join_asof": SQL_JOIN_ASOF,
+    "agg_group_multi": SQL_AGG_GROUP_MULTI,
+    "agg_count_distinct": SQL_AGG_COUNT_DISTINCT,
+    "agg_rollup": SQL_AGG_ROLLUP,
+    "agg_cube": SQL_AGG_CUBE,
+    "window_rank": SQL_WINDOW_RANK,
+    "window_lag_lead": SQL_WINDOW_LAG_LEAD,
+    "window_frame_sum": SQL_WINDOW_FRAME_SUM,
+    "sort_limit": SQL_SORT_LIMIT,
+    "window_topk_per_group": SQL_WINDOW_TOPK_PER_GROUP,
+    "set_union_all": SQL_SET_UNION_ALL,
+    "set_intersect": SQL_SET_INTERSECT,
+    "set_except": SQL_SET_EXCEPT,
+    "distinct_rows": SQL_DISTINCT_ROWS,
+    "string_funcs": SQL_STRING_FUNCS,
+    "date_funcs": SQL_DATE_FUNCS,
+    "math_funcs": SQL_MATH_FUNCS,
+    "array_funcs": SQL_ARRAY_FUNCS,
+    "json_funcs": SQL_JSON_FUNCS,
+    "explode_array": SQL_EXPLODE_ARRAY,
+    "pivot_event_type": SQL_PIVOT_EVENT_TYPE,
+    # approx_distinct / sample_frac: deliberately no oracle (nondeterministic
+    # vs exact SQL) → driver rows-only check
+}

@@ -1,0 +1,125 @@
+"""Master registry: every implemented operator as a named (query, oracle)
+pair — the single source for ``__spark_entry__.py`` and the local T4
+mirror tests. Keys without an oracle entry are non-SQL-expressible (model
+inference, LSH signatures, sampling) and get the driver's rows-only check.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as DD
+from ..operators import extract as X
+from ..operators import multimodal as MM
+from ..operators import similarity as SIM
+from ..operators import textstats as TS
+from ..operators.webpages import web_pages
+from .queries import RELATIONAL_ORACLE, RELATIONAL_QUERIES
+
+
+# --- KG pipeline stage queries (rows-only: DuckDB cannot run the
+#     extractor/model; correctness is pinned by the oracle-parity pytest
+#     gates T1–T3 instead) ---------------------------------------------------
+
+def q_kg_web_pages(spark, sf):
+    return web_pages(spark, sf).select("url", "warc_ts", "lang",
+                                       F.length("html").alias("n_html_bytes"))
+
+
+def q_kg_extract_text(spark, sf):
+    return X.extract_text(web_pages(spark, sf)).select(
+        "url", "warc_ts", "lang", "text_sha", "n_chars")
+
+
+def q_kg_sentences(spark, sf):
+    ext = X.lang_filter(X.extract_text(web_pages(spark, sf)))
+    return X.split_sentences(ext).select(
+        "url", "sent_id", "char_start", "char_end",
+        F.size("tokens").cast("int").alias("n_tokens"))
+
+
+def _inferred(spark, sf):
+    ext = X.lang_filter(X.extract_text(web_pages(spark, sf)))
+    return X.infer(X.split_sentences(ext))
+
+
+def q_kg_mentions(spark, sf):
+    return X.mentions(_inferred(spark, sf))
+
+
+def q_kg_triples_raw(spark, sf):
+    return X.triples_raw(_inferred(spark, sf))
+
+
+KG_QUERIES = {
+    "kg_web_pages": q_kg_web_pages,
+    "kg_extract_text": q_kg_extract_text,
+    "kg_sentences": q_kg_sentences,
+    "kg_mentions": q_kg_mentions,
+    "kg_triples_raw": q_kg_triples_raw,
+}
+
+
+# --- dedup / similarity / text analysis / multimodal ------------------------
+
+ANALYTICS_QUERIES = {
+    "dedup_exact": DD.exact_dedup_groups,
+    "dedup_ngram_jaccard": partial(DD.ngram_jaccard_pairs, n=2, threshold=0.2),
+    "dedup_minhash_lsh": partial(DD.minhash_lsh_pairs, n=2, threshold=0.2),
+    "dedup_simhash": partial(DD.simhash_pairs, max_hamming=3),
+    "dedup_embedding_cosine": partial(DD.embedding_neardup_pairs, threshold=0.3),
+    "ann_topk_bruteforce": partial(SIM.ann_bruteforce, n_queries=8, k=5),
+    "ann_topk_lsh": partial(SIM.ann_lsh, n_queries=8, k=5),
+    "text_token_stats": TS.token_stats,
+    "text_quality": TS.quality_scores,
+    "text_langid_scores": TS.langid_scores,
+    "text_langid_predict": TS.langid_predict,
+    "text_fingerprint": TS.fingerprint,
+    "mm_binary_metadata": MM.binary_metadata,
+    "mm_media_features": MM.media_features,
+}
+
+ANALYTICS_ORACLE = {
+    "dedup_exact": DD.SQL_EXACT_DEDUP,
+    "dedup_ngram_jaccard": DD.sql_ngram_jaccard(n=2, threshold=0.2),
+    "dedup_embedding_cosine": DD.sql_embedding_neardup(threshold=0.3),
+    "ann_topk_bruteforce": SIM.sql_ann_bruteforce(n_queries=8, k=5),
+    "text_token_stats": TS.SQL_TOKEN_STATS,
+    "text_quality": TS.SQL_QUALITY_SCORES,
+    "text_langid_scores": TS.SQL_LANGID_SCORES,
+    "text_fingerprint": TS.SQL_FINGERPRINT,
+    # minhash/simhash/lsh/langid_predict/mm_*: signature-based or
+    # model-backed — rows-only (plus pytest property gates on recall)
+}
+
+
+def all_queries() -> dict:
+    out: dict = {}
+    out.update(RELATIONAL_QUERIES)
+    out.update(KG_QUERIES)
+    out.update(ANALYTICS_QUERIES)
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    out: dict[str, str] = {}
+    out.update(RELATIONAL_ORACLE)
+    out.update(ANALYTICS_ORACLE)
+    return out
+
+
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """The headline query: full extraction → joint inference → triple
+    aggregation (G1 shape) on sf0.001."""
+    trip = q_kg_triples_raw(spark, sf_dir)
+    return (
+        trip.groupBy("subj_surface", "subj_label", "pred",
+                     "obj_surface", "obj_label")
+        .agg(F.count("*").alias("evidence_count"),
+             F.countDistinct("url").alias("n_sources"))
+        .orderBy(F.desc("evidence_count"), "subj_surface", "pred",
+                 "obj_surface")
+    )

@@ -1,0 +1,50 @@
+"""Registry-level mirror of the driver gate: analytics/dedup/similarity
+queries vs their DuckDB oracles; rows-only queries run and return sane
+shapes; entry() smoke check."""
+
+import pytest
+
+import __spark_entry__ as entrymod
+from joint_entity_and_relation_extraction_spark.plans import registry
+from joint_entity_and_relation_extraction_spark.plans.queries import RELATIONAL_ORACLE
+
+from conftest import SF001
+from parity_util import assert_matches_oracle, make_con
+
+
+@pytest.fixture(scope="module")
+def con():
+    return make_con(SF001)
+
+
+# relational ones already covered in test_relational_parity.py
+ANALYTIC_ORACLED = sorted(set(registry.all_oracles()) - set(RELATIONAL_ORACLE))
+
+
+@pytest.mark.parametrize("name", ANALYTIC_ORACLED)
+def test_analytics_matches_oracle(spark, con, name):
+    assert_matches_oracle(
+        name, registry.all_queries()[name](spark, SF001), con,
+        registry.all_oracles()[name])
+
+
+ROWS_ONLY = sorted(set(registry.all_queries()) - set(registry.all_oracles())
+                   - {"sample_frac", "agg_approx_distinct"}
+                   - {k for k in registry.all_queries() if k.startswith("kg_")})
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_analytics_run(spark, name):
+    df = registry.all_queries()[name](spark, SF001)
+    assert df.count() >= 0 and len(df.columns) > 0
+
+
+def test_oracle_keys_subset_of_queries():
+    assert set(registry.all_oracles()) <= set(registry.all_queries())
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.limit(5).collect()
+    assert len(df.columns) == 7
+    assert len(rows) >= 0
