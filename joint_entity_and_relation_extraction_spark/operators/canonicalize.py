@@ -1,0 +1,93 @@
+"""Canonicalization C2–C4 (SURVEY.md §2.3): connected components as
+GraphFrames-style iterative DataFrame joins, then canonical-id rewrite of
+triple endpoints.
+
+Algorithm: min-label propagation — labels(node) := min(label, min over
+neighbors' labels) until fixpoint, which takes O(component diameter)
+rounds. Entity-alias graphs are star-shaped (diameter ≤ ~4), so this
+converges in 2–3 rounds; for high-diameter graphs swap `_propagate` for
+large-star/small-star contraction (same join shapes, O(log n) rounds).
+Each round localCheckpoints to truncate lineage (SURVEY.md §4.3) and the
+convergence check is a single count action.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+    """edges(src:long, dst:long) undirected → labels(node:long,
+    component:long) where component = min node id in the component.
+    Nodes appearing in no edge are absent (callers coalesce to self)."""
+    bidir = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .union(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        bidir.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            bidir.join(labels, bidir.v == labels.node)
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+                (F.col("nbr_component") < F.col("component")).alias("changed"),
+            )
+            .localCheckpoint()
+        )
+        n_changed = new_labels.filter(F.col("changed")).count()
+        labels = new_labels.drop("changed")
+        if n_changed == 0:
+            break
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
+    return labels
+
+
+def assign_components(links: DataFrame, labels: DataFrame) -> DataFrame:
+    """links + cc labels → (url, sent_id, m_id, canon_id); nodes outside
+    any edge are their own component."""
+    return (
+        links.join(labels, links.node_id == labels.node, "left")
+        .select(
+            "url", "sent_id", "m_id", "alias_norm",
+            F.coalesce(F.col("component"), F.col("node_id")).alias("canon_id"),
+        )
+    )
+
+
+def canonical_triples(triples_raw: DataFrame, assigned: DataFrame) -> DataFrame:
+    """C4: rewrite triple endpoints to canonical component ids via two
+    equi-joins on (url, sent_id, m_id) — sort-merge at scale, broadcast
+    when the mention side is small (left to Catalyst/AQE)."""
+    subj = assigned.select(
+        "url", "sent_id", F.col("m_id").alias("subj_m"),
+        F.col("canon_id").alias("subj"),
+        F.col("alias_norm").alias("subj_norm"))
+    obj = assigned.select(
+        "url", "sent_id", F.col("m_id").alias("obj_m"),
+        F.col("canon_id").alias("obj"),
+        F.col("alias_norm").alias("obj_norm"))
+    return (
+        triples_raw
+        .join(subj, ["url", "sent_id", "subj_m"])
+        .join(obj, ["url", "sent_id", "obj_m"])
+        .select("url", "sent_id", "subj", "subj_norm", "pred",
+                "obj", "obj_norm", "score")
+    )

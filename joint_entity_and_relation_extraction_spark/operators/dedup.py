@@ -148,10 +148,10 @@ def minhash_bands_udf(shingles: pd.Series) -> pd.Series:
         bands = []
         for bi in range(BANDS):
             chunk = mins[bi * ROWS_PER_BAND:(bi + 1) * ROWS_PER_BAND]
-            key = np.uint64(fnv1a64(f"band{bi}"))
+            key = fnv1a64(f"band{bi}")
             for v in chunk:
-                key = (key * np.uint64(1099511628211)) ^ np.uint64(v)
-            bands.append(int(key & np.uint64(0x7FFFFFFFFFFFFFFF)))
+                key = ((key * 1099511628211) & 0xFFFFFFFFFFFFFFFF) ^ int(v)
+            bands.append(key & 0x7FFFFFFFFFFFFFFF)
         return bands
 
     return shingles.map(sig)

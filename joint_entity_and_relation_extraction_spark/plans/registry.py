@@ -54,12 +54,39 @@ def q_kg_triples_raw(spark, sf):
     return X.triples_raw(_inferred(spark, sf))
 
 
+def q_kg_links(spark, sf):
+    from ..operators import linking as LK
+
+    inferred = _inferred(spark, sf)
+    return LK.link_mentions(X.mentions(inferred), LK.alias_dict(spark, sf))
+
+
+def q_kg_canonical_triples(spark, sf):
+    from ..operators import canonicalize as C
+    from ..operators import linking as LK
+
+    inferred = _inferred(spark, sf).persist()
+    links = LK.link_mentions(X.mentions(inferred), LK.alias_dict(spark, sf))
+    labels = C.connected_components(LK.link_edges(links))
+    canon = C.canonical_triples(
+        X.triples_raw(inferred), C.assign_components(links, labels))
+    return (
+        canon.groupBy("subj", "pred", "obj")
+        .agg(F.min("subj_norm").alias("subj_name"),
+             F.min("obj_norm").alias("obj_name"),
+             F.count("*").alias("evidence_count"),
+             F.countDistinct("url").alias("n_sources"))
+    )
+
+
 KG_QUERIES = {
     "kg_web_pages": q_kg_web_pages,
     "kg_extract_text": q_kg_extract_text,
     "kg_sentences": q_kg_sentences,
     "kg_mentions": q_kg_mentions,
     "kg_triples_raw": q_kg_triples_raw,
+    "kg_links": q_kg_links,
+    "kg_canonical_triples": q_kg_canonical_triples,
 }
 
 
@@ -112,14 +139,8 @@ def all_oracles() -> dict[str, str]:
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
-    """The headline query: full extraction → joint inference → triple
-    aggregation (G1 shape) on sf0.001."""
-    trip = q_kg_triples_raw(spark, sf_dir)
-    return (
-        trip.groupBy("subj_surface", "subj_label", "pred",
-                     "obj_surface", "obj_label")
-        .agg(F.count("*").alias("evidence_count"),
-             F.countDistinct("url").alias("n_sources"))
-        .orderBy(F.desc("evidence_count"), "subj_surface", "pred",
-                 "obj_surface")
-    )
+    """The headline query: the full KG construction chain — extraction →
+    joint NER+RE inference → entity linking → connected-components
+    canonicalization → deduplicated (subj, pred, obj) triples."""
+    return q_kg_canonical_triples(spark, sf_dir).orderBy(
+        F.desc("evidence_count"), "subj", "pred", "obj")

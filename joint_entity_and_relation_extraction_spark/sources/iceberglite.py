@@ -200,5 +200,33 @@ def read(spark: SparkSession, root: str, snapshot: int | None = None,
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 
+def drop_partitions(root: str, where: dict[str, object]) -> int:
+    """Metadata-only partition delete (Iceberg ``DELETE WHERE`` on partition
+    predicates): commits a snapshot whose unit list excludes matching
+    partitions. Data files stay on disk (time travel still sees them)."""
+    m = _load(root)
+    parent = m["current_snapshot"]
+
+    def match(u: str) -> bool:
+        pv = _partition_values(u)
+        for k, v in where.items():
+            vals = v if isinstance(v, (list, tuple, set)) else [v]
+            if k in pv and pv[k] in {str(x) for x in vals}:
+                continue
+            return False
+        return True
+
+    kept = [u for u in _units_at(m, parent) if not match(u)]
+    snap_id = _next_id(m)
+    m["snapshots"].append({
+        "id": snap_id, "parent": parent, "operation": "delete",
+        "units": kept, "added": [],
+        "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+    })
+    m["current_snapshot"] = snap_id
+    _commit(root, m)
+    return snap_id
+
+
 def exists(root: str) -> bool:
     return current_snapshot(root) is not None

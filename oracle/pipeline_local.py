@@ -92,6 +92,124 @@ def run(sf_dir: str, lang: str = "en") -> dict[str, pd.DataFrame]:
             "mentions": mentions, "triples_raw": triples}
 
 
+# --- linking / canonicalization / materialize mirror ------------------------
+
+from joint_entity_and_relation_extraction_spark.functions import (  # noqa: E402
+    aliasgen as AG,
+)
+
+
+def build_aliases(sf_dir: str) -> list[dict]:
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    counts = AG.token_counts_from_texts(docs["text"])
+    return AG.build_alias_rows(counts)
+
+
+def link(mentions: pd.DataFrame, alias_rows: list[dict]) -> pd.DataFrame:
+    """Mirror of operators/linking.link_mentions: exact broadcast pass,
+    then LSH-banded fuzzy pass over distinct unlinked surfaces, top-1 by
+    (sim, prior, entity_id)."""
+    alias_map: dict[str, list[tuple[int, float]]] = {}
+    for r in alias_rows:
+        alias_map.setdefault(r["alias_norm"], []).append(
+            (r["entity_id"], r["prior"]))
+
+    bands: dict[int, list[str]] = {}
+    for a in alias_map:
+        for k in AG.band_keys(a):
+            bands.setdefault(k, []).append(a)
+
+    out = []
+    fuzzy_cache: dict[str, tuple | None] = {}
+    for r in mentions.itertuples(index=False):
+        norm = T.normalize_surface(r.surface)
+        if norm in alias_map:
+            eid, prior = max(alias_map[norm], key=lambda ep: (ep[1], -ep[0]))
+            out.append((r.url, r.sent_id, r.m_id, norm, eid, "exact", 1.0, prior, eid))
+            continue
+        if norm not in fuzzy_cache:
+            cands = set()
+            for k in AG.band_keys(norm):
+                cands.update(bands.get(k, ()))
+            msh = AG.char_shingles(norm)
+            best = None
+            for a in cands:
+                sim = AG.round6(AG.jaccard(msh, AG.char_shingles(a)))
+                if sim < 0.5:
+                    continue
+                for eid, prior in alias_map[a]:
+                    key = (-sim, -prior, eid)
+                    if best is None or key < best[0]:
+                        best = (key, a, eid, prior, sim)
+            fuzzy_cache[norm] = best
+        best = fuzzy_cache[norm]
+        if best is not None:
+            _, a, eid, prior, sim = best
+            out.append((r.url, r.sent_id, r.m_id, norm, eid, "lsh", sim, prior, eid))
+        else:
+            out.append((r.url, r.sent_id, r.m_id, norm, None, "none", None,
+                        None, AG.surface_node_id(norm)))
+    # dtype=object: a float64 column would silently round 63-bit entity ids
+    return pd.DataFrame(out, columns=[
+        "url", "sent_id", "m_id", "alias_norm", "entity_id", "method",
+        "sim", "prior", "node_id"], dtype=object)
+
+
+def connected_components(edges: set[tuple[int, int]]) -> dict[int, int]:
+    """Union-find; component label = min node id (matches the Spark
+    min-propagation)."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {n: find(n) for n in parent}
+
+
+def canonicalize(links: pd.DataFrame, triples: pd.DataFrame) -> pd.DataFrame:
+    edges = {
+        (AG.surface_node_id(r.alias_norm), int(r.entity_id))
+        for r in links.itertuples(index=False) if r.entity_id is not None
+        and not pd.isna(r.entity_id)
+    }
+    labels = connected_components(edges)
+    node = {(r.url, r.sent_id, r.m_id): (int(r.node_id), r.alias_norm)
+            for r in links.itertuples(index=False)}
+    rows = []
+    for t in triples.itertuples(index=False):
+        sn, snorm = node[(t.url, t.sent_id, t.subj_m)]
+        on, onorm = node[(t.url, t.sent_id, t.obj_m)]
+        rows.append((t.url, t.sent_id, labels.get(sn, sn), snorm, t.pred,
+                     labels.get(on, on), onorm, t.score))
+    return pd.DataFrame(rows, columns=[
+        "url", "sent_id", "subj", "subj_norm", "pred", "obj", "obj_norm",
+        "score"])
+
+
+def materialize(canon: pd.DataFrame) -> pd.DataFrame:
+    g = (canon.groupby(["subj", "pred", "obj"], as_index=False)
+         .agg(subj_name=("subj_norm", "min"), obj_name=("obj_norm", "min"),
+              evidence_count=("url", "size"), n_sources=("url", "nunique")))
+    return g
+
+
+def run_full(sf_dir: str, lang: str = "en") -> dict[str, pd.DataFrame]:
+    res = run(sf_dir, lang)
+    links = link(res["mentions"], build_aliases(sf_dir))
+    canon = canonicalize(links, res["triples_raw"])
+    res["links"] = links
+    res["canonical"] = canon
+    res["triples"] = materialize(canon)
+    return res
+
+
 def triple_keys(triples: pd.DataFrame) -> set[tuple]:
     """Strict-match triple identity (SURVEY.md §5.1): evidence location +
     surfaces + predicate."""

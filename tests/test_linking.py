@@ -1,0 +1,96 @@
+"""M4 gates: linking parity (Spark vs oracle, exact + LSH paths), CC
+property tests vs union-find, canonical-triple parity, and the end-to-end
+P/R >= 0.95 gate on CANONICAL triples."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from joint_entity_and_relation_extraction_spark.functions import aliasgen as AG
+from joint_entity_and_relation_extraction_spark.functions import text as T
+from joint_entity_and_relation_extraction_spark.operators import canonicalize as C
+from joint_entity_and_relation_extraction_spark.operators import extract as X
+from joint_entity_and_relation_extraction_spark.operators import linking as L
+from joint_entity_and_relation_extraction_spark.operators.webpages import web_pages
+from oracle import pipeline_local as oracle
+
+from conftest import SF0001
+
+
+@pytest.fixture(scope="module")
+def spark_links(spark):
+    ext = X.lang_filter(X.extract_text(web_pages(spark, SF0001)))
+    inferred = X.infer(X.split_sentences(ext)).persist()
+    mentions = X.mentions(inferred)
+    aliases = L.alias_dict(spark, SF0001)
+    links = L.link_mentions(mentions, aliases).persist()
+    trip = X.triples_raw(inferred)
+    return mentions, links, trip
+
+
+@pytest.fixture(scope="module")
+def oracle_full():
+    return oracle.run_full(SF0001)
+
+
+def test_alias_dict_matches_oracle(spark):
+    got = {(r.alias_norm, r.entity_id, r.prior)
+           for r in L.alias_dict(spark, SF0001).collect()}
+    want = {(r["alias_norm"], r["entity_id"], r["prior"])
+            for r in oracle.build_aliases(SF0001)}
+    assert got == want and len(got) > 50
+
+
+def test_normalize_builtin_equals_python(spark, spark_links):
+    mentions, _, _ = spark_links
+    rows = mentions.select(
+        "surface", L.normalize_col(F.col("surface")).alias("norm")
+    ).distinct().collect()
+    for r in rows:
+        assert r.norm == T.normalize_surface(r.surface), r.surface
+
+
+def test_link_parity_spark_vs_oracle(spark_links, oracle_full):
+    _, links, _ = spark_links
+    got = {(r.url, r.sent_id, r.m_id,
+            None if r.entity_id is None else int(r.entity_id),
+            r.method, r.sim, int(r.node_id))
+           for r in links.collect()}
+    want = set()
+    for r in oracle_full["links"].itertuples(index=False):
+        eid = None if r.entity_id is None or str(r.entity_id) == "nan" \
+            else int(r.entity_id)
+        want.add((r.url, r.sent_id, r.m_id, eid, r.method, r.sim,
+                  int(r.node_id)))
+    assert got == want
+    methods = {m for (_, _, _, _, m, _, _) in got}
+    assert "exact" in methods  # both paths exercised
+    assert "lsh" in methods or "none" in methods
+
+
+def test_cc_matches_union_find(spark):
+    rng = random.Random(7)
+    edges = {(rng.randrange(200), rng.randrange(200)) for _ in range(150)}
+    edges |= {(1000 + i, 1000 + i + 1) for i in range(25)}  # a 26-node chain
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    got = {(r.node, r.component) for r in C.connected_components(df).collect()}
+    want = oracle.connected_components(edges)
+    assert got == set(want.items())
+
+
+def test_canonical_triples_pr_gate(spark, spark_links, oracle_full):
+    _, links, trip = spark_links
+    labels = C.connected_components(L.link_edges(links))
+    assigned = C.assign_components(links, labels)
+    canon = C.canonical_triples(trip, assigned)
+    got = {(r.url, r.sent_id, int(r.subj), r.pred, int(r.obj))
+           for r in canon.collect()}
+    want = {(r.url, r.sent_id, int(r.subj), r.pred, int(r.obj))
+            for r in oracle_full["canonical"].itertuples(index=False)}
+    tp = len(got & want)
+    precision = tp / max(len(got), 1)
+    recall = tp / max(len(want), 1)
+    assert precision >= 0.95 and recall >= 0.95, (precision, recall)
+    assert precision == 1.0 and recall == 1.0
+    assert len(got) > 100
