@@ -130,13 +130,20 @@ def _infer_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         })
 
 
-def infer(sentences: DataFrame) -> DataFrame:
+def infer(sentences: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """sentences → inferred: one model pass per sentence emitting both the
     NER mentions and the biaffine relation pairs (X5+X6+X7 fused — one
-    Arrow crossing, encoder runs once; SURVEY.md §2.5 iterator UDF)."""
-    return sentences.select("url", "sent_id", "tokens").mapInPandas(
-        _infer_batches, schema=INFERRED_SCHEMA
-    )
+    Arrow crossing, encoder runs once; SURVEY.md §2.5 iterator UDF).
+
+    The input is rebalanced by (url, sent_id) hash before the UDF: model
+    inference is ~10^3x heavier per row than the shuffle, and upstream
+    explode leaves document-sized partition skew that would serialize the
+    expensive stage (the standard rebalance-before-expensive-UDF pattern).
+    """
+    sel = sentences.select("url", "sent_id", "tokens")
+    n = num_partitions or 2 * sentences.sparkSession.sparkContext.defaultParallelism
+    sel = sel.repartition(n, F.col("url"), F.col("sent_id"))
+    return sel.mapInPandas(_infer_batches, schema=INFERRED_SCHEMA)
 
 
 # --- X6/X8 projections (pure built-ins) ------------------------------------

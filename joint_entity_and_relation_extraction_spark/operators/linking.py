@@ -71,44 +71,48 @@ def surface_node_udf(norm: pd.Series) -> pd.Series:
     return norm.map(AG.surface_node_id)
 
 
-def _best_per_mention(df: DataFrame) -> DataFrame:
-    w = Window.partitionBy("url", "sent_id", "m_id").orderBy(
-        F.desc("sim"), F.desc("prior"), F.asc("entity_id"))
-    return (df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1).drop("__rn"))
+def _best_alias(df: DataFrame, key: str) -> DataFrame:
+    """Reduce to the winning (entity_id, prior[, sim]) per surface key via
+    max_by on an ordering struct — an aggregation (map-side combinable),
+    NOT a window over the mention table. Order: sim desc, prior desc,
+    entity_id asc."""
+    sim = F.col("sim") if "sim" in df.columns else F.lit(1.0)
+    order = F.struct(sim.alias("s"), F.col("prior").alias("p"),
+                     (-F.col("entity_id")).alias("ne"))
+    picked = F.max_by(
+        F.struct("entity_id", "prior",
+                 *(("sim",) if "sim" in df.columns else ())), order)
+    return (df.groupBy(key)
+            .agg(picked.alias("__b"))
+            .select(key, "__b.*"))
 
 
 def link_mentions(mentions: DataFrame, aliases: DataFrame) -> DataFrame:
     """mentions → links(url, sent_id, m_id, alias_norm, node_id, entity_id
-    nullable, method, sim).
+    nullable, method, sim, prior).
 
-    Exact pass: broadcast hash join on alias_norm (L2). Fuzzy pass: only
-    still-unlinked DISTINCT surfaces go through LSH banding — the band
-    join is an equi-join on (band, key), then exact char-3-gram Jaccard
-    (array_intersect, JVM-side) verifies candidates (L3/L4); top-1 by
-    (sim, prior, entity_id) per mention (L5). Unlinked surfaces get
-    deterministic 63-bit surface-node ids (L6) — never
+    Scale shape: ALL per-candidate work happens on the DISTINCT surface
+    table (tiny vs the mention stream); the mention table itself is only
+    touched by one broadcast hash join at the end — no windows and no
+    shuffle over the 10^12-row side. Exact pass: broadcast join on
+    alias_norm (L2), dictionary pre-reduced to its best entry per alias.
+    Fuzzy pass: LSH banding equi-join (L3), exact char-3-gram Jaccard
+    verify JVM-side (L4), best-per-surface aggregation (L5). Unlinked
+    surfaces get deterministic 63-bit node ids (L6) — never
     monotonically_increasing_id.
     """
     m = mentions.withColumn("alias_norm", normalize_col(F.col("surface")))
 
-    exact = (
-        m.join(F.broadcast(aliases), "alias_norm", "left")
-        .withColumn("sim", F.when(F.col("entity_id").isNotNull(), 1.0)
-                    .otherwise(F.lit(None).cast("double")))
-    )
-    exact_best = _best_per_mention(
-        exact.filter(F.col("entity_id").isNotNull()))
-    exact_linked = exact_best.select(
-        "url", "sent_id", "m_id", "alias_norm", "entity_id",
-        F.lit("exact").alias("method"), "sim", "prior")
+    # best dictionary entry per alias (prior desc, entity_id asc)
+    alias_best = _best_alias(aliases, "alias_norm")
 
-    unlinked = exact.filter(F.col("entity_id").isNull()).select(
-        "url", "sent_id", "m_id", "alias_norm")
+    surfaces = m.select("alias_norm").distinct()
+    s_exact = surfaces.join(F.broadcast(alias_best), "alias_norm", "left")
 
-    # fuzzy path over DISTINCT unlinked surfaces (tiny vs mention count)
-    u_surf = unlinked.select("alias_norm").distinct().withColumn(
-        "m_sh", char_shingles_udf("alias_norm"))
+    # fuzzy path over DISTINCT unmatched surfaces only
+    u_surf = (s_exact.filter(F.col("entity_id").isNull())
+              .select("alias_norm")
+              .withColumn("m_sh", char_shingles_udf("alias_norm")))
     u_band = u_surf.select(
         "alias_norm", "m_sh",
         F.posexplode(band_keys_udf("alias_norm")).alias("band", "key"))
@@ -127,27 +131,30 @@ def link_mentions(mentions: DataFrame, aliases: DataFrame) -> DataFrame:
         .filter(F.col("sim") >= SIM_THRESHOLD)
         .select("alias_norm", "entity_id", "prior", "sim")
     )
-    fuzzy = _best_per_mention(unlinked.join(cand, "alias_norm"))
-    fuzzy_linked = fuzzy.select(
-        "url", "sent_id", "m_id", "alias_norm", "entity_id",
-        F.lit("lsh").alias("method"), "sim", "prior")
+    s_fuzzy = _best_alias(cand, "alias_norm")
 
-    linked = exact_linked.unionByName(fuzzy_linked)
-    still_unlinked = unlinked.join(
-        cand.select("alias_norm").distinct(), "alias_norm", "left_anti"
-    ).select(
-        "url", "sent_id", "m_id", "alias_norm",
-        F.lit(None).cast("long").alias("entity_id"),
-        F.lit("none").alias("method"),
-        F.lit(None).cast("double").alias("sim"),
-        F.lit(None).cast("double").alias("prior"))
-
-    return (
-        linked.unionByName(still_unlinked)
-        .withColumn("node_id",
-                    F.coalesce(F.col("entity_id"),
-                               surface_node_udf(F.col("alias_norm"))))
+    # one resolution row per distinct surface
+    resolution = (
+        s_exact.withColumnRenamed("entity_id", "e_exact")
+        .withColumnRenamed("prior", "p_exact")
+        .join(s_fuzzy.withColumnRenamed("entity_id", "e_fuzzy")
+              .withColumnRenamed("prior", "p_fuzzy"), "alias_norm", "left")
+        .select(
+            "alias_norm",
+            F.coalesce("e_exact", "e_fuzzy").alias("entity_id"),
+            F.coalesce("p_exact", "p_fuzzy").alias("prior"),
+            F.when(F.col("e_exact").isNotNull(), F.lit("exact"))
+            .when(F.col("e_fuzzy").isNotNull(), F.lit("lsh"))
+            .otherwise(F.lit("none")).alias("method"),
+            F.when(F.col("e_exact").isNotNull(), F.lit(1.0))
+            .otherwise(F.col("sim")).alias("sim"),
+            F.coalesce(F.coalesce("e_exact", "e_fuzzy"),
+                       surface_node_udf(F.col("alias_norm"))).alias("node_id"),
+        )
     )
+    # single broadcast join back onto the mention stream
+    return m.select("url", "sent_id", "m_id", "alias_norm").join(
+        F.broadcast(resolution), "alias_norm")
 
 
 def link_edges(links: DataFrame) -> DataFrame:

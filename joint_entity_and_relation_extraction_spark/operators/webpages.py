@@ -43,17 +43,32 @@ def _gen(skew: bool):
 
 
 def web_pages(spark: SparkSession, sf_dir: str, skew: bool = False,
-              num_partitions: int | None = None) -> DataFrame:
+              num_partitions: int | None = None,
+              replicate: int = 1) -> DataFrame:
     """documents → web_pages via an Arrow mapInPandas stage.
 
     Column-pruned scan (only the 4 needed columns reach the parquet
-    reader); repartitioned by url hash so downstream per-page work spreads
-    independently of source-file layout — at 100 TB this is the scan-side
-    parallelism knob (SURVEY.md §4.4).
+    reader); repartitioned by doc_id hash so downstream per-page work
+    spreads independently of source-file layout — at 100 TB this is the
+    scan-side parallelism knob (SURVEY.md §4.4).
+
+    ``replicate=k`` deterministically multiplies the corpus ×k with
+    disjoint doc_id ranges (distinct urls) — bench volume only
+    (BASELINE.md allows deterministic ×K replication).
     """
     docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source"
     )
-    if num_partitions:
-        docs = docs.repartition(num_partitions, F.col("doc_id"))
+    if replicate > 1:
+        reps = spark.range(replicate).select(F.col("id").alias("rep"))
+        docs = (docs.crossJoin(F.broadcast(reps))
+                .withColumn("doc_id",
+                            F.col("doc_id") + F.col("rep") * 10_000_000)
+                .drop("rep"))
+    if num_partitions is None:
+        # the testdata parquet is 1-2 files; without an explicit rebalance
+        # every downstream Arrow stage would inherit that near-serial
+        # partitioning (measured: 32 cores ran at local[8] speed)
+        num_partitions = 2 * spark.sparkContext.defaultParallelism
+    docs = docs.repartition(num_partitions, F.col("doc_id"))
     return docs.mapInPandas(_gen(skew), schema=WEB_PAGES_SCHEMA)

@@ -66,7 +66,8 @@ def q_kg_canonical_triples(spark, sf):
     from ..operators import linking as LK
 
     inferred = _inferred(spark, sf).persist()
-    links = LK.link_mentions(X.mentions(inferred), LK.alias_dict(spark, sf))
+    links = LK.link_mentions(X.mentions(inferred),
+                             LK.alias_dict(spark, sf)).persist()
     labels = C.connected_components(LK.link_edges(links))
     canon = C.canonical_triples(
         X.triples_raw(inferred), C.assign_components(links, labels))

