@@ -166,20 +166,25 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, n: int = 2,
     chosen (b, r) S-curve.
     """
     d = read_table(spark, sf_dir, "documents").select(
-        "doc_id", _shingles_expr(n).alias("sh"))
+        "doc_id", _shingles_expr(n).alias("sh")).persist()
     banded = d.select(
-        "doc_id", "sh", F.posexplode(minhash_bands_udf(F.col("sh"))).alias(
+        "doc_id", F.posexplode(minhash_bands_udf(F.col("sh"))).alias(
             "band", "key"))
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
+    # candidate id pairs first — a pair colliding in several bands is
+    # deduped BEFORE the (wide) shingle arrays are joined back, so the
+    # band-join shuffle moves only (id, id) rows
+    cand_ids = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.key") == F.col("b.key"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"),
-                F.col("a.sh").alias("sh1"), F.col("b.sh").alias("sh2"))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .dropDuplicates(["d1", "d2"])
     )
+    s1 = d.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
+    s2 = d.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
+    cand = cand_ids.join(s1, "d1").join(s2, "d2")
     inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
     union = (F.size("sh1") + F.size("sh2")).cast("double") - inter
     return (

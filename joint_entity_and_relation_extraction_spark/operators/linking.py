@@ -14,7 +14,8 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, LongType, StringType
+from pyspark.sql.types import (ArrayType, LongType, StringType, StructField,
+                               StructType)
 
 from ..functions import aliasgen as AG
 from ..sources.io import read_table
@@ -71,6 +72,26 @@ def surface_node_udf(norm: pd.Series) -> pd.Series:
     return norm.map(AG.surface_node_id)
 
 
+_SURFACE_FEATS_T = StructType([
+    StructField("bands", ArrayType(LongType()), False),
+    StructField("sh", ArrayType(StringType()), False),
+    StructField("node", LongType(), False),
+])
+
+
+@F.pandas_udf(_SURFACE_FEATS_T)
+def surface_feats_udf(norm: pd.Series) -> pd.DataFrame:
+    """Fused per-surface features (LSH band keys + char shingles + node
+    id) — one Python stage crossing instead of three; the surface tables
+    are tiny but each extra UDF stage costs a fixed scheduler+Arrow round
+    trip that dominates the pipeline's latency floor."""
+    return pd.DataFrame({
+        "bands": norm.map(AG.band_keys),
+        "sh": norm.map(AG.char_shingles),
+        "node": norm.map(AG.surface_node_id),
+    })
+
+
 def _best_alias(df: DataFrame, key: str) -> DataFrame:
     """Reduce to the winning (entity_id, prior[, sim]) per surface key via
     max_by on an ordering struct — an aggregation (map-side combinable),
@@ -106,22 +127,23 @@ def link_mentions(mentions: DataFrame, aliases: DataFrame) -> DataFrame:
     # best dictionary entry per alias (prior desc, entity_id asc)
     alias_best = _best_alias(aliases, "alias_norm")
 
-    surfaces = m.select("alias_norm").distinct()
+    # one fused python stage computes bands+shingles+node for every
+    # distinct surface (latency floor: each UDF stage costs a fixed
+    # scheduler+Arrow round trip)
+    surfaces = (m.select("alias_norm").distinct()
+                .withColumn("f", surface_feats_udf("alias_norm")))
     s_exact = surfaces.join(F.broadcast(alias_best), "alias_norm", "left")
 
     # fuzzy path over DISTINCT unmatched surfaces only
-    u_surf = (s_exact.filter(F.col("entity_id").isNull())
-              .select("alias_norm")
-              .withColumn("m_sh", char_shingles_udf("alias_norm")))
-    u_band = u_surf.select(
-        "alias_norm", "m_sh",
-        F.posexplode(band_keys_udf("alias_norm")).alias("band", "key"))
-    a_surf = aliases.select(F.col("alias_norm").alias("a_norm"),
-                            "entity_id", "prior").withColumn(
-        "a_sh", char_shingles_udf("a_norm"))
+    u_band = (s_exact.filter(F.col("entity_id").isNull())
+              .select("alias_norm", F.col("f.sh").alias("m_sh"),
+                      F.posexplode("f.bands").alias("band", "key")))
+    a_surf = (aliases.select(F.col("alias_norm").alias("a_norm"),
+                             "entity_id", "prior")
+              .withColumn("af", surface_feats_udf("a_norm")))
     a_band = a_surf.select(
-        "a_norm", "a_sh", "entity_id", "prior",
-        F.posexplode(band_keys_udf("a_norm")).alias("band", "key"))
+        "a_norm", F.col("af.sh").alias("a_sh"), "entity_id", "prior",
+        F.posexplode("af.bands").alias("band", "key"))
     inter = F.size(F.array_intersect("m_sh", "a_sh")).cast("double")
     union = (F.size("m_sh") + F.size("a_sh")).cast("double") - inter
     cand = (
@@ -133,7 +155,8 @@ def link_mentions(mentions: DataFrame, aliases: DataFrame) -> DataFrame:
     )
     s_fuzzy = _best_alias(cand, "alias_norm")
 
-    # one resolution row per distinct surface
+    # one resolution row per distinct surface; surface_node rides along so
+    # downstream edge building never re-enters Python
     resolution = (
         s_exact.withColumnRenamed("entity_id", "e_exact")
         .withColumnRenamed("prior", "p_exact")
@@ -149,7 +172,8 @@ def link_mentions(mentions: DataFrame, aliases: DataFrame) -> DataFrame:
             F.when(F.col("e_exact").isNotNull(), F.lit(1.0))
             .otherwise(F.col("sim")).alias("sim"),
             F.coalesce(F.coalesce("e_exact", "e_fuzzy"),
-                       surface_node_udf(F.col("alias_norm"))).alias("node_id"),
+                       F.col("f.node")).alias("node_id"),
+            F.col("f.node").alias("surface_node"),
         )
     )
     # single broadcast join back onto the mention stream
@@ -163,7 +187,7 @@ def link_edges(links: DataFrame) -> DataFrame:
     shared surface node, which canonicalization then merges."""
     return (
         links.filter(F.col("entity_id").isNotNull())
-        .select(surface_node_udf(F.col("alias_norm")).alias("src"),
+        .select(F.col("surface_node").alias("src"),
                 F.col("entity_id").alias("dst"))
         .dropDuplicates()
     )

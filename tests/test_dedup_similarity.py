@@ -1,0 +1,101 @@
+"""T5 property gates for the probabilistic dedup/similarity operators:
+MinHash-LSH recall on injected near-duplicates, SimHash on light edits,
+hyperplane-LSH ANN recall vs the exact brute-force ranking."""
+
+import os
+import shutil
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from joint_entity_and_relation_extraction_spark.operators import dedup as DD
+from joint_entity_and_relation_extraction_spark.operators import similarity as SIM
+
+from conftest import SF0001, SF001
+
+
+@pytest.fixture(scope="module")
+def neardup_dir(tmp_path_factory):
+    """documents table = sf0.001 corpus + one near-duplicate per 10th doc
+    (first word changed → word-2-gram Jaccard ≈ 0.97)."""
+    d = str(tmp_path_factory.mktemp("neardup"))
+    docs = pd.read_parquet(os.path.join(SF0001, "documents.parquet"))
+    dups = docs[docs.doc_id % 10 == 0].copy()
+    dups["text"] = "zzzchanged " + dups["text"].str.split(" ", n=1).str[1]
+    dups["doc_id"] = dups["doc_id"] + 1_000_000
+    pd.concat([docs, dups]).to_parquet(os.path.join(d, "documents.parquet"))
+    expected = {(int(r), int(r) + 1_000_000) for r in dups["doc_id"] - 1_000_000}
+    return d, expected
+
+
+def test_minhash_lsh_finds_injected_neardups(spark, neardup_dir):
+    d, expected = neardup_dir
+    got = {(r.d1, r.d2) for r in
+           DD.minhash_lsh_pairs(spark, d, n=2, threshold=0.8).collect()}
+    found = len(got & expected)
+    # (b=16, r=4) S-curve: P(candidate | J=0.97) ≈ 1 - (1-0.97^4)^16 ≈ 1.0
+    assert found >= 0.95 * len(expected), (found, len(expected))
+
+
+def test_minhash_agrees_with_exact_jaccard_on_candidates(spark, neardup_dir):
+    d, _ = neardup_dir
+    lsh = {(r.d1, r.d2): r.jaccard for r in
+           DD.minhash_lsh_pairs(spark, d, n=2, threshold=0.5).collect()}
+    exact = {(r.d1, r.d2): r.jaccard for r in
+             DD.ngram_jaccard_pairs(spark, d, n=2, threshold=0.5).collect()}
+    # every LSH-verified pair carries the exact Jaccard value
+    for pair, j in lsh.items():
+        assert exact.get(pair) == j
+    # and LSH recall vs the exhaustive join is high at this threshold
+    assert len(lsh) >= 0.9 * len(exact)
+
+
+def test_simhash_close_on_near_duplicates(spark, neardup_dir):
+    d, expected = neardup_dir
+    got = {(r.d1, r.d2) for r in
+           DD.simhash_pairs(spark, d, max_hamming=6).collect()}
+    found = len(got & expected)
+    assert found >= 0.7 * len(expected), (found, len(expected))
+
+
+@pytest.fixture(scope="module")
+def clustered_dir(tmp_path_factory):
+    """embeddings table = sf0.001 corpus + one true near-duplicate
+    (cos ≈ 0.95+) per query vector — the case hyperplane LSH exists for."""
+    import numpy as np
+
+    d = str(tmp_path_factory.mktemp("clustered"))
+    emb = pd.read_parquet(os.path.join(SF0001, "embeddings.parquet"))
+    rng = np.random.default_rng(7)
+    dups = emb[emb.vec_id < 8].copy()
+    dups["embedding"] = dups["embedding"].map(
+        lambda v: (np.asarray(v, dtype=np.float32)
+                   + 0.02 * rng.standard_normal(len(v)).astype(np.float32)))
+    dups["vec_id"] = dups["vec_id"] + 100_000
+    pd.concat([emb, dups]).to_parquet(os.path.join(d, "embeddings.parquet"))
+    return d
+
+
+def test_ann_lsh_finds_true_near_neighbors(spark, clustered_dir):
+    approx = SIM.ann_lsh(spark, clustered_dir, n_queries=8, k=5).collect()
+    hits = {r.qid for r in approx if r.nid == r.qid + 100_000}
+    # p_collide ≈ 0.93 per near-dup at (12 planes, 8 tables)
+    assert len(hits) >= 6, sorted(hits)
+    # LSH re-rank must agree with the exact scorer on shared pairs
+    exact_cos = {(r.qid, r.nid): r.cos for r in SIM.ann_bruteforce(
+        spark, clustered_dir, n_queries=8, k=5).collect()}
+    for r in approx:
+        if (r.qid, r.nid) in exact_cos:
+            assert exact_cos[(r.qid, r.nid)] == r.cos
+
+
+def test_ann_bruteforce_orders_by_cosine(spark):
+    rows = SIM.ann_bruteforce(spark, SF001, n_queries=4, k=5).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.qid, []).append((r.rank, r.cos))
+    for q, rs in by_q.items():
+        rs.sort()
+        assert [r for r, _ in rs] == [1, 2, 3, 4, 5]
+        assert all(rs[i][1] >= rs[i + 1][1] for i in range(4))
