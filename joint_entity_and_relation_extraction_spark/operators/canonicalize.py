@@ -117,6 +117,40 @@ def assign_components(links: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
+def surface_canon_map(resolution: DataFrame, labels: DataFrame) -> DataFrame:
+    """(alias_norm → canon_id): resolution nodes rewritten through the CC
+    labels; nodes outside any edge stay themselves. Dictionary-sized."""
+    return (
+        resolution.join(labels, resolution.node_id == labels.node, "left")
+        .select("alias_norm",
+                F.coalesce(F.col("component"), F.col("node_id")).alias("canon_id"))
+    )
+
+
+def canonical_triples_by_surface(triples_raw: DataFrame,
+                                 canon_map: DataFrame) -> DataFrame:
+    """C4 fast path: triples carry their subject/object SURFACE strings, so
+    canonical ids resolve via two broadcast joins against the
+    dictionary-sized (alias_norm → canon_id) map — the 10^12-row triple
+    stream is never shuffled. Identical output to the mention-join path
+    (canonical_triples below, parity-tested); fall back to that path if
+    the surface map ever outgrows broadcast range."""
+    from .linking import normalize_col
+
+    t = (triples_raw
+         .withColumn("subj_norm", normalize_col(F.col("subj_surface")))
+         .withColumn("obj_norm", normalize_col(F.col("obj_surface"))))
+    subj_map = F.broadcast(canon_map.select(
+        F.col("alias_norm").alias("subj_norm"), F.col("canon_id").alias("subj")))
+    obj_map = F.broadcast(canon_map.select(
+        F.col("alias_norm").alias("obj_norm"), F.col("canon_id").alias("obj")))
+    return (
+        t.join(subj_map, "subj_norm").join(obj_map, "obj_norm")
+        .select("url", "sent_id", "subj", "subj_norm", "pred",
+                "obj", "obj_norm", "score")
+    )
+
+
 def canonical_triples(triples_raw: DataFrame, assigned: DataFrame) -> DataFrame:
     """C4: rewrite triple endpoints to canonical component ids via two
     equi-joins on (url, sent_id, m_id) — sort-merge at scale, broadcast

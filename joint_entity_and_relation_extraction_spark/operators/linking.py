@@ -108,33 +108,15 @@ def _best_alias(df: DataFrame, key: str) -> DataFrame:
             .select(key, "__b.*"))
 
 
-def link_mentions(mentions: DataFrame, aliases: DataFrame) -> DataFrame:
-    """mentions → links(url, sent_id, m_id, alias_norm, node_id, entity_id
-    nullable, method, sim, prior).
-
-    Scale shape: ALL per-candidate work happens on the DISTINCT surface
-    table (tiny vs the mention stream); the mention table itself is only
-    touched by one broadcast hash join at the end — no windows and no
-    shuffle over the 10^12-row side. Exact pass: broadcast join on
-    alias_norm (L2), dictionary pre-reduced to its best entry per alias.
-    Fuzzy pass: LSH banding equi-join (L3), exact char-3-gram Jaccard
-    verify JVM-side (L4), best-per-surface aggregation (L5). Unlinked
-    surfaces get deterministic 63-bit node ids (L6) — never
-    monotonically_increasing_id.
-    """
-    m = mentions.withColumn("alias_norm", normalize_col(F.col("surface")))
-
-    # best dictionary entry per alias (prior desc, entity_id asc)
+def resolve_surfaces(surfaces: DataFrame, aliases: DataFrame) -> DataFrame:
+    """Distinct normalized surfaces → resolution(alias_norm, entity_id,
+    prior, method, sim, node_id, surface_node). All candidate work
+    (exact + LSH fuzzy) happens here, on the dictionary-sized surface
+    table — see link_mentions for the scale rationale."""
     alias_best = _best_alias(aliases, "alias_norm")
+    feats = surfaces.withColumn("f", surface_feats_udf("alias_norm"))
+    s_exact = feats.join(F.broadcast(alias_best), "alias_norm", "left")
 
-    # one fused python stage computes bands+shingles+node for every
-    # distinct surface (latency floor: each UDF stage costs a fixed
-    # scheduler+Arrow round trip)
-    surfaces = (m.select("alias_norm").distinct()
-                .withColumn("f", surface_feats_udf("alias_norm")))
-    s_exact = surfaces.join(F.broadcast(alias_best), "alias_norm", "left")
-
-    # fuzzy path over DISTINCT unmatched surfaces only
     u_band = (s_exact.filter(F.col("entity_id").isNull())
               .select("alias_norm", F.col("f.sh").alias("m_sh"),
                       F.posexplode("f.bands").alias("band", "key")))
@@ -155,9 +137,7 @@ def link_mentions(mentions: DataFrame, aliases: DataFrame) -> DataFrame:
     )
     s_fuzzy = _best_alias(cand, "alias_norm")
 
-    # one resolution row per distinct surface; surface_node rides along so
-    # downstream edge building never re-enters Python
-    resolution = (
+    return (
         s_exact.withColumnRenamed("entity_id", "e_exact")
         .withColumnRenamed("prior", "p_exact")
         .join(s_fuzzy.withColumnRenamed("entity_id", "e_fuzzy")
@@ -176,9 +156,38 @@ def link_mentions(mentions: DataFrame, aliases: DataFrame) -> DataFrame:
             F.col("f.node").alias("surface_node"),
         )
     )
+
+
+def link_mentions(mentions: DataFrame, aliases: DataFrame) -> DataFrame:
+    """mentions → links(url, sent_id, m_id, alias_norm, node_id, entity_id
+    nullable, method, sim, prior).
+
+    Scale shape: ALL per-candidate work happens on the DISTINCT surface
+    table (tiny vs the mention stream); the mention table itself is only
+    touched by one broadcast hash join at the end — no windows and no
+    shuffle over the 10^12-row side. Exact pass: broadcast join on
+    alias_norm (L2), dictionary pre-reduced to its best entry per alias.
+    Fuzzy pass: LSH banding equi-join (L3), exact char-3-gram Jaccard
+    verify JVM-side (L4), best-per-surface aggregation (L5). Unlinked
+    surfaces get deterministic 63-bit node ids (L6) — never
+    monotonically_increasing_id.
+    """
+    m = mentions.withColumn("alias_norm", normalize_col(F.col("surface")))
+    resolution = resolve_surfaces(m.select("alias_norm").distinct(), aliases)
     # single broadcast join back onto the mention stream
     return m.select("url", "sent_id", "m_id", "alias_norm").join(
         F.broadcast(resolution), "alias_norm")
+
+
+def resolution_edges(resolution: DataFrame) -> DataFrame:
+    """C1 from the resolution table alone — identical edge set to
+    link_edges(link_mentions(...)) because edges are per-surface facts."""
+    return (
+        resolution.filter(F.col("entity_id").isNotNull())
+        .select(F.col("surface_node").alias("src"),
+                F.col("entity_id").alias("dst"))
+        .dropDuplicates()
+    )
 
 
 def link_edges(links: DataFrame) -> DataFrame:

@@ -83,10 +83,13 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_root: str,
     # ---- stage 3: linking + canonicalization ------------------------------
     with StageTimer() as st:
         aliases = L.alias_dict(spark, sf_dir)
-        links = L.link_mentions(mentions, aliases).persist()
-        labels = C.connected_components(L.link_edges(links))
-        assigned = C.assign_components(links, labels)
-        canon = C.canonical_triples(triples_raw, assigned)
+        surfaces = (mentions
+                    .select(L.normalize_col(F.col("surface")).alias("alias_norm"))
+                    .distinct())
+        resolution = L.resolve_surfaces(surfaces, aliases).persist()
+        labels = C.connected_components(L.resolution_edges(resolution))
+        canon_map = C.surface_canon_map(resolution, labels)
+        canon = C.canonical_triples_by_surface(triples_raw, canon_map)
     stats["link_ms"] = st.wall_ms
 
     # ---- stage 4: graph materialize (G1 dedup-agg + G2 write) -------------
@@ -116,5 +119,5 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_root: str,
         lineage_rows(out, run_id, "materialize", F.col("pred"), st.wall_ms),
         t_lineage, ["stage"])
     inferred.unpersist()
-    links.unpersist()
+    resolution.unpersist()
     return {"triples": out, "recomputed_langs": recomputed, "stats": stats}

@@ -66,11 +66,13 @@ def q_kg_canonical_triples(spark, sf):
     from ..operators import linking as LK
 
     inferred = _inferred(spark, sf).persist()
-    links = LK.link_mentions(X.mentions(inferred),
-                             LK.alias_dict(spark, sf)).persist()
-    labels = C.connected_components(LK.link_edges(links))
-    canon = C.canonical_triples(
-        X.triples_raw(inferred), C.assign_components(links, labels))
+    surfaces = (X.mentions(inferred)
+                .select(LK.normalize_col(F.col("surface")).alias("alias_norm"))
+                .distinct())
+    resolution = LK.resolve_surfaces(surfaces, LK.alias_dict(spark, sf))
+    labels = C.connected_components(LK.resolution_edges(resolution))
+    canon = C.canonical_triples_by_surface(
+        X.triples_raw(inferred), C.surface_canon_map(resolution, labels))
     return (
         canon.groupBy("subj", "pred", "obj")
         .agg(F.min("subj_norm").alias("subj_name"),

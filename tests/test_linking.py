@@ -81,6 +81,22 @@ def test_cc_matches_union_find(spark, force_distributed):
     assert got == set(want.items())
 
 
+def test_surface_path_equals_mention_path(spark, spark_links):
+    """canonical_triples_by_surface (broadcast surface map, no mention
+    join) must equal the general mention-join path row-for-row."""
+    mentions, links, trip = spark_links
+    labels = C.connected_components(L.link_edges(links))
+    via_mentions = {tuple(r) for r in C.canonical_triples(
+        trip, C.assign_components(links, labels)).collect()}
+    resolution = L.resolve_surfaces(
+        mentions.select(L.normalize_col(F.col("surface")).alias("alias_norm"))
+        .distinct(), L.alias_dict(spark, SF0001))
+    labels2 = C.connected_components(L.resolution_edges(resolution))
+    via_surfaces = {tuple(r) for r in C.canonical_triples_by_surface(
+        trip, C.surface_canon_map(resolution, labels2)).collect()}
+    assert via_surfaces == via_mentions and len(via_surfaces) > 100
+
+
 def test_canonical_triples_pr_gate(spark, spark_links, oracle_full):
     _, links, trip = spark_links
     labels = C.connected_components(L.link_edges(links))
