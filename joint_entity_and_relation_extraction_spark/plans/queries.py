@@ -613,6 +613,145 @@ def q_sample_frac(spark, sf):
         "l_orderkey", "l_linenumber")
 
 
+def q_set_union_distinct(spark, sf):
+    c = read_table(spark, sf, "customer")
+    o = read_table(spark, sf, "orders")
+    a = c.select(F.col("c_custkey").alias("k"))
+    b = o.select(F.col("o_custkey").alias("k"))
+    return a.union(b).distinct()
+
+
+SQL_SET_UNION_DISTINCT = """
+SELECT c_custkey AS k FROM customer UNION SELECT o_custkey AS k FROM orders
+"""
+
+
+def q_window_range_interval(spark, sf):
+    """RANGE frame over an interval — trailing-30-day order count per
+    customer (event-time range frames, not row counts)."""
+    o = read_table(spark, sf, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+         .rangeBetween(-30 * 86400, 0))
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.count("*").over(w).cast("bigint").alias("n_orders_30d"))
+
+
+SQL_WINDOW_RANGE_INTERVAL = """
+SELECT o_custkey, o_orderkey,
+       CAST(COUNT(*) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate
+            RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_orders_30d
+FROM orders
+"""
+
+
+def q_agg_grouping_sets(spark, sf):
+    li = read_table(spark, sf, "lineitem")
+    li.createOrReplaceTempView("__li_gs")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM __li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
+
+
+SQL_AGG_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+def q_map_funcs(spark, sf):
+    e = read_table(spark, sf, "events")
+    m = F.from_json("props", "map<string,int>")
+    return e.select(
+        "event_id",
+        F.concat_ws(",", F.map_keys(m)).alias("keys_csv"),
+        F.element_at(m, "k").cast("bigint").alias("k_val"),
+        F.size(m).cast("bigint").alias("n_keys"),
+    )
+
+
+SQL_MAP_FUNCS = """
+SELECT event_id,
+       ARRAY_TO_STRING(JSON_KEYS(props), ',') AS keys_csv,
+       CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k_val,
+       CAST(LEN(JSON_KEYS(props)) AS BIGINT) AS n_keys
+FROM events
+"""
+
+
+def q_subquery_scalar(spark, sf):
+    """Correlated-scalar-subquery semantics (max order per customer);
+    declared in Spark as agg+join — Catalyst decorrelates the SQL form to
+    the same plan anyway."""
+    c = read_table(spark, sf, "customer")
+    o = read_table(spark, sf, "orders")
+    mx = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.max("o_totalprice").alias("max_order"))
+    return c.join(mx, "c_custkey", "left").select(
+        "c_custkey", "c_name", "max_order")
+
+
+SQL_SUBQUERY_SCALAR = """
+SELECT c_custkey, c_name,
+       (SELECT MAX(o_totalprice) FROM orders o
+        WHERE o.o_custkey = c.c_custkey) AS max_order
+FROM customer c
+"""
+
+
+def q_conditional_funcs(spark, sf):
+    o = read_table(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 200000, "big")
+        .when(F.col("o_totalprice") > 50000, "mid")
+        .otherwise("small").alias("bucket"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")),
+                   F.lit("OPEN")).alias("status_x"),
+        F.greatest(F.col("o_totalprice"), F.lit(100000.0)).alias("at_least_100k"),
+        F.least(F.col("o_custkey"), F.col("o_orderkey")).alias("min_key"),
+    )
+
+
+SQL_CONDITIONAL_FUNCS = """
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 200000 THEN 'big'
+            WHEN o_totalprice > 50000 THEN 'mid'
+            ELSE 'small' END AS bucket,
+       COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_x,
+       GREATEST(o_totalprice, 100000.0) AS at_least_100k,
+       LEAST(o_custkey, o_orderkey) AS min_key
+FROM orders
+"""
+
+
+def q_sort_nulls(spark, sf):
+    """Explicit NULLS FIRST/LAST ordering over an outer-join's nulls."""
+    n = read_table(spark, sf, "nation")
+    s = read_table(spark, sf, "supplier")
+    j = n.join(s, n.n_nationkey == s.s_nationkey, "left").select(
+        "n_nationkey", "n_name", "s_suppkey")
+    return j.orderBy(F.col("s_suppkey").asc_nulls_last(),
+                     F.col("n_nationkey").asc()).limit(30)
+
+
+SQL_SORT_NULLS = """
+SELECT n_nationkey, n_name, s_suppkey
+FROM nation LEFT JOIN supplier ON n_nationkey = s_nationkey
+ORDER BY s_suppkey ASC NULLS LAST, n_nationkey ASC LIMIT 30
+"""
+
+
 # --- registry ---------------------------------------------------------------
 
 RELATIONAL_QUERIES = {
@@ -649,6 +788,13 @@ RELATIONAL_QUERIES = {
     "explode_array": q_explode_array,
     "pivot_event_type": q_pivot_event_type,
     "sample_frac": q_sample_frac,
+    "set_union_distinct": q_set_union_distinct,
+    "window_range_interval": q_window_range_interval,
+    "agg_grouping_sets": q_agg_grouping_sets,
+    "map_funcs": q_map_funcs,
+    "subquery_scalar": q_subquery_scalar,
+    "conditional_funcs": q_conditional_funcs,
+    "sort_nulls": q_sort_nulls,
 }
 
 RELATIONAL_ORACLE = {
@@ -683,6 +829,13 @@ RELATIONAL_ORACLE = {
     "json_funcs": SQL_JSON_FUNCS,
     "explode_array": SQL_EXPLODE_ARRAY,
     "pivot_event_type": SQL_PIVOT_EVENT_TYPE,
+    "set_union_distinct": SQL_SET_UNION_DISTINCT,
+    "window_range_interval": SQL_WINDOW_RANGE_INTERVAL,
+    "agg_grouping_sets": SQL_AGG_GROUPING_SETS,
+    "map_funcs": SQL_MAP_FUNCS,
+    "subquery_scalar": SQL_SUBQUERY_SCALAR,
+    "conditional_funcs": SQL_CONDITIONAL_FUNCS,
+    "sort_nulls": SQL_SORT_NULLS,
     # approx_distinct / sample_frac: deliberately no oracle (nondeterministic
     # vs exact SQL) → driver rows-only check
 }
