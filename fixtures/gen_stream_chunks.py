@@ -31,8 +31,10 @@ def gen_chunks(sf_dir: str, out_dir: str, late: bool = True) -> dict:
     if late:
         for i in range(n):
             r = pages.iloc[i]
-            if r.doc_id % 20 == 7 and chunk_of[i] < N_CHUNKS - 3:
-                chunk_of[i] += 3  # old timestamp, late delivery
+            if r.doc_id % 20 == 7 and chunk_of[i] < N_CHUNKS - 5:
+                # old timestamp delivered ~2.5h later: clearly beyond the
+                # 1h watermark (+10min window rounding slack)
+                chunk_of[i] += 5
                 late_urls.append(r.url)
             if r.doc_id % 33 == 0 and chunk_of[i] < N_CHUNKS - 1:
                 dup = r.copy()

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from ..operators import dedup as DD
 from ..operators import extract as X
 from ..operators import multimodal as MM
+from ..operators import pandas_ops as PO
 from ..operators import similarity as SIM
 from ..operators import textstats as TS
 from ..operators.webpages import web_pages
@@ -110,6 +111,8 @@ ANALYTICS_QUERIES = {
     "text_fingerprint": TS.fingerprint,
     "mm_binary_metadata": MM.binary_metadata,
     "mm_media_features": MM.media_features,
+    "grouped_map_sessionize": PO.sessionize_events,
+    "udaf_weighted_avg": PO.weighted_avg_by_type,
 }
 
 ANALYTICS_ORACLE = {
@@ -121,6 +124,8 @@ ANALYTICS_ORACLE = {
     "text_quality": TS.SQL_QUALITY_SCORES,
     "text_langid_scores": TS.SQL_LANGID_SCORES,
     "text_fingerprint": TS.SQL_FINGERPRINT,
+    "grouped_map_sessionize": PO.SQL_SESSIONIZE,
+    "udaf_weighted_avg": PO.SQL_WEIGHTED_AVG,
     # minhash/simhash/lsh/langid_predict/mm_*: signature-based or
     # model-backed — rows-only (plus pytest property gates on recall)
 }

@@ -18,6 +18,50 @@ from ..operators.webpages import WEB_PAGES_SCHEMA
 from ..sources import iceberglite as il
 
 
+class MicroBatchMetricsListener:
+    """StreamingQueryListener capturing per-micro-batch lineage: input
+    rows, processed rates, and state-store drop counts (late data beyond
+    the watermark) — the streaming analogue of the batch lineage rows
+    (SURVEY.md §2.6 'late data' note). Rows accumulate in-memory and are
+    flushed to the lineage table by the caller."""
+
+    def __init__(self) -> None:
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        rows = self.rows = []
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                p = event.progress
+                dropped = 0
+                for op in p.stateOperators:
+                    dropped += getattr(op, "numRowsDroppedByWatermark", 0) or 0
+                rows.append({
+                    "query_id": str(p.id), "batch_id": p.batchId,
+                    "input_rows": p.numInputRows,
+                    "dropped_late_rows": int(dropped),
+                    "timestamp": p.timestamp,
+                })
+
+            def onQueryTerminated(self, event):
+                pass
+
+            def onQueryIdle(self, event):
+                pass
+
+        self.listener = _L()
+
+    def attach(self, spark: SparkSession) -> "MicroBatchMetricsListener":
+        spark.streams.addListener(self.listener)
+        return self
+
+    def detach(self, spark: SparkSession) -> None:
+        spark.streams.removeListener(self.listener)
+
+
 def read_page_stream(spark: SparkSession, input_dir: str,
                      max_files_per_trigger: int = 1) -> DataFrame:
     """SRC4: file-source stream over parquet chunk drops (schema required —

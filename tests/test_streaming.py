@@ -64,16 +64,29 @@ def test_windowed_counts_match_batch_when_no_late_data(spark, clean_chunks):
     assert closed <= g and len(closed) > 50
 
 
-def test_late_rows_are_dropped(spark, late_chunks):
+def test_late_rows_are_dropped_and_metered(spark, late_chunks):
     d, info = late_chunks
     assert info["n_late"] > 0
-    stream = S.read_page_stream(spark, d)
-    got = _run_to_memory(spark, S.windowed_lang_counts(stream), "win_late")
-    total_windowed = got.agg(F.sum("n_pages")).collect()[0][0] or 0
-    n_input = info["n_rows"] + info["n_dups"]
-    # late rows (delivered 3 chunks = ~hours of event time later) fall
-    # behind the 1h watermark and are dropped from closed windows
-    assert total_windowed < n_input
+    listener = S.MicroBatchMetricsListener().attach(spark)
+    try:
+        stream = S.read_page_stream(spark, d)
+        got = _run_to_memory(spark, S.windowed_lang_counts(stream), "win_late")
+        total_windowed = got.agg(F.sum("n_pages")).collect()[0][0] or 0
+        n_input = info["n_rows"] + info["n_dups"]
+        # late rows (delivered 3 chunks = ~hours of event time later) fall
+        # behind the 1h watermark and are dropped from closed windows
+        assert total_windowed < n_input
+        # listener captured per-micro-batch lineage incl. the drops
+        import time
+
+        for _ in range(20):  # listener events are async
+            if sum(r["dropped_late_rows"] for r in listener.rows) > 0:
+                break
+            time.sleep(0.5)
+        assert sum(r["input_rows"] for r in listener.rows) >= n_input
+        assert sum(r["dropped_late_rows"] for r in listener.rows) > 0
+    finally:
+        listener.detach(spark)
 
 
 def test_session_windows_and_enrich_run(spark, clean_chunks):
