@@ -127,34 +127,39 @@ def _minhash_params(seed: int = 42):
     return a, b
 
 
+#: shingle strings are hashed JVM-side (xxhash64 inside a transform(),
+#: whole-stage codegen) so the Python stage only sees int64 arrays
+_HASHED_SHINGLES = "transform(sh, s -> xxhash64(s) & 9223372036854775807)"
+
+
 @F.pandas_udf(ArrayType(LongType()))
-def minhash_bands_udf(shingles: pd.Series) -> pd.Series:
-    """64 universal-hash minima over FNV-hashed shingles, folded into 16
-    band keys (4 rows/band). Vectorized numpy per document; band key mixes
-    the band index so keys from different bands never collide."""
+def minhash_bands_udf(hashes: pd.Series) -> pd.Series:
+    """64 universal-hash minima over pre-hashed shingles, folded into 16
+    band keys (4 rows/band). Input is array<long> (strings already hashed
+    JVM-side — no per-string Python); band key mixes the band index so
+    keys from different bands never collide."""
     from ..functions.text import fnv1a64
 
     a, b = _minhash_params()
+    au = a.astype(np.uint64)[:, None]
+    bu = b.astype(np.uint64)[:, None]
+    band_seeds = [fnv1a64(f"band{bi}") for bi in range(BANDS)]
 
-    def sig(sh_list) -> list[int]:
-        if sh_list is None or len(sh_list) == 0:
+    def sig(h_list) -> list[int]:
+        if h_list is None or len(h_list) == 0:
             return []
-        h = np.array([fnv1a64(s) & 0x7FFFFFFFFFFFFFFF for s in sh_list],
-                     dtype=np.uint64)
+        h = np.asarray(h_list, dtype=np.uint64)
         # (NUM_HASHES, n) universal hashing mod Mersenne prime
-        vals = (h[None, :] * a.astype(np.uint64)[:, None]
-                + b.astype(np.uint64)[:, None]) % np.uint64(_MERSENNE)
-        mins = vals.min(axis=1)  # (NUM_HASHES,)
+        mins = ((h[None, :] * au + bu) % np.uint64(_MERSENNE)).min(axis=1)
         bands = []
         for bi in range(BANDS):
-            chunk = mins[bi * ROWS_PER_BAND:(bi + 1) * ROWS_PER_BAND]
-            key = fnv1a64(f"band{bi}")
-            for v in chunk:
+            key = band_seeds[bi]
+            for v in mins[bi * ROWS_PER_BAND:(bi + 1) * ROWS_PER_BAND]:
                 key = ((key * 1099511628211) & 0xFFFFFFFFFFFFFFFF) ^ int(v)
             bands.append(key & 0x7FFFFFFFFFFFFFFF)
         return bands
 
-    return shingles.map(sig)
+    return hashes.map(sig)
 
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, n: int = 2,
@@ -168,7 +173,8 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, n: int = 2,
     d = read_table(spark, sf_dir, "documents").select(
         "doc_id", _shingles_expr(n).alias("sh")).persist()
     banded = d.select(
-        "doc_id", F.posexplode(minhash_bands_udf(F.col("sh"))).alias(
+        "doc_id",
+        F.posexplode(minhash_bands_udf(F.expr(_HASHED_SHINGLES))).alias(
             "band", "key"))
     a = banded.alias("a")
     b = banded.alias("b")

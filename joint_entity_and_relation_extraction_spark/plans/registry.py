@@ -42,9 +42,19 @@ def q_kg_sentences(spark, sf):
         F.size("tokens").cast("int").alias("n_tokens"))
 
 
+_INFER_CACHE: dict = {}
+
+
 def _inferred(spark, sf):
-    ext = X.lang_filter(X.extract_text(web_pages(spark, sf)))
-    return X.infer(X.split_sentences(ext))
+    """Persisted-and-memoized inference results per (session, sf_dir):
+    several kg_* queries share the expensive extract→infer prefix; the
+    driver runs them back-to-back in one session, so recomputing the
+    model stage per query would triple its correctness-run cost."""
+    key = (id(spark), sf)
+    if key not in _INFER_CACHE:
+        ext = X.lang_filter(X.extract_text(web_pages(spark, sf)))
+        _INFER_CACHE[key] = X.infer(X.split_sentences(ext)).persist()
+    return _INFER_CACHE[key]
 
 
 def q_kg_mentions(spark, sf):
@@ -66,7 +76,7 @@ def q_kg_canonical_triples(spark, sf):
     from ..operators import canonicalize as C
     from ..operators import linking as LK
 
-    inferred = _inferred(spark, sf).persist()
+    inferred = _inferred(spark, sf)
     surfaces = (X.mentions(inferred)
                 .select(LK.normalize_col(F.col("surface")).alias("alias_norm"))
                 .distinct())

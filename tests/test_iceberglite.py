@@ -64,3 +64,19 @@ def test_atomic_commit_no_partial_state(spark, tbl):
 def test_unpartitioned_roundtrip(spark, tbl):
     il.append(_df(spark, [("a", 1), ("b", 2)]), tbl, [])
     assert il.read(spark, tbl).count() == 2
+
+
+def test_json_lines_source(spark, tmp_path):
+    """SRC3: schema-required JSON-lines read (no inference on the path)."""
+    import json
+
+    from joint_entity_and_relation_extraction_spark.sources.io import read_json_lines
+
+    p = tmp_path / "aliases.jsonl"
+    rows = [{"alias_norm": "spark", "entity_id": 1, "prior": 0.9},
+            {"alias_norm": "flink", "entity_id": 2, "prior": 0.5}]
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    df = read_json_lines(spark, str(p),
+                         "alias_norm string, entity_id long, prior double")
+    got = {(r.alias_norm, r.entity_id, r.prior) for r in df.collect()}
+    assert got == {("spark", 1, 0.9), ("flink", 2, 0.5)}
