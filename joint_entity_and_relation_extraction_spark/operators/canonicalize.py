@@ -121,7 +121,8 @@ def surface_canon_map(resolution: DataFrame, labels: DataFrame) -> DataFrame:
     """(alias_norm → canon_id): resolution nodes rewritten through the CC
     labels; nodes outside any edge stay themselves. Dictionary-sized."""
     return (
-        resolution.join(labels, resolution.node_id == labels.node, "left")
+        resolution.join(F.broadcast(labels),
+                        resolution.node_id == labels.node, "left")
         .select("alias_norm",
                 F.coalesce(F.col("component"), F.col("node_id")).alias("canon_id"))
     )

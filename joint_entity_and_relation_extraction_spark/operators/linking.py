@@ -140,8 +140,9 @@ def resolve_surfaces(surfaces: DataFrame, aliases: DataFrame) -> DataFrame:
     return (
         s_exact.withColumnRenamed("entity_id", "e_exact")
         .withColumnRenamed("prior", "p_exact")
-        .join(s_fuzzy.withColumnRenamed("entity_id", "e_fuzzy")
-              .withColumnRenamed("prior", "p_fuzzy"), "alias_norm", "left")
+        .join(F.broadcast(s_fuzzy.withColumnRenamed("entity_id", "e_fuzzy")
+                          .withColumnRenamed("prior", "p_fuzzy")),
+              "alias_norm", "left")
         .select(
             "alias_norm",
             F.coalesce("e_exact", "e_fuzzy").alias("entity_id"),

@@ -752,6 +752,33 @@ ORDER BY s_suppkey ASC NULLS LAST, n_nationkey ASC LIMIT 30
 """
 
 
+def q_agg_salted_skew(spark, sf):
+    """Salted two-phase aggregation on a deliberately skewed key (87% of
+    lineitem rows share l_returnflag in {'N'}-heavy distribution) — the
+    oracle is the PLAIN group-by, proving the salting is semantics-
+    preserving (BASELINE.json skew handling)."""
+    from ..operators.skew import salted_agg
+
+    li = read_table(spark, sf, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty"))
+    out = salted_agg(li, ["flag"],
+                     [("qty", "count", "n_rows"), ("qty", "sum", "sum_qty"),
+                      ("qty", "max", "max_qty")])
+    return out.select(
+        "flag", F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("max_qty").cast("double").alias("max_qty"))
+
+
+SQL_AGG_SALTED_SKEW = """
+SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS max_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # --- registry ---------------------------------------------------------------
 
 RELATIONAL_QUERIES = {
@@ -795,6 +822,7 @@ RELATIONAL_QUERIES = {
     "subquery_scalar": q_subquery_scalar,
     "conditional_funcs": q_conditional_funcs,
     "sort_nulls": q_sort_nulls,
+    "agg_salted_skew": q_agg_salted_skew,
 }
 
 RELATIONAL_ORACLE = {
@@ -836,6 +864,7 @@ RELATIONAL_ORACLE = {
     "subquery_scalar": SQL_SUBQUERY_SCALAR,
     "conditional_funcs": SQL_CONDITIONAL_FUNCS,
     "sort_nulls": SQL_SORT_NULLS,
+    "agg_salted_skew": SQL_AGG_SALTED_SKEW,
     # approx_distinct / sample_frac: deliberately no oracle (nondeterministic
     # vs exact SQL) → driver rows-only check
 }
