@@ -115,9 +115,11 @@ def _lstm_pass(x: np.ndarray, params, reverse: bool) -> np.ndarray:
     order = range(T - 1, -1, -1) if reverse else range(T)
     for t in order:
         g = pre_x[t] + h @ Wh
-        i, f, gg, o = g[:H], g[H : 2 * H], g[2 * H : 3 * H], g[3 * H :]
-        i, f, o = _sigmoid(i), _sigmoid(f), _sigmoid(o)
-        c = f * c + i * np.tanh(gg)
+        # one vectorized sigmoid over all gates (elementwise ⇒ bitwise
+        # identical to per-slice calls; the g-gate slice of `s` is unused)
+        s = _sigmoid(g)
+        i, f, o = s[:H], s[H : 2 * H], s[3 * H :]
+        c = f * c + i * np.tanh(g[2 * H : 3 * H])
         h = o * np.tanh(c)
         out[t] = h
     return out
@@ -218,18 +220,19 @@ def rel_pairs(
         scores[r] += (S @ w.Wlin[r, :NDIRS_H])[:, None]
         scores[r] += (S @ w.Wlin[r, NDIRS_H:])[None, :]
         scores[r] += w.brel[r]
+    # vectorized argmax over the class axis (same comparisons, same
+    # lowest-index tie-break as per-pair np.argmax), then softmax only
+    # for the firing pairs
+    r_star = np.argmax(scores, axis=0)  # (M, M)
     out = []
-    for i in range(M):
-        for j in range(M):
-            if i == j:
-                continue
-            v = scores[:, i, j]
-            r = int(np.argmax(v))
-            if r == NONE_REL:
-                continue
-            ex = np.exp(v - v.max())
-            prob = float(ex[r] / ex.sum())
-            out.append((i, j, REL_LABELS[r], round(prob, 6)))
+    for i, j in zip(*np.nonzero(r_star != NONE_REL)):
+        if i == j:
+            continue
+        v = scores[:, i, j]
+        r = int(r_star[i, j])
+        ex = np.exp(v - v.max())
+        prob = float(ex[r] / ex.sum())
+        out.append((int(i), int(j), REL_LABELS[r], round(prob, 6)))
     return out
 
 
