@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 LINEAGE_SCHEMA = ("run_id string, stage string, part string, "

@@ -18,9 +18,9 @@ dynamic-partition overwrites, so re-runs are idempotent.
 
 from __future__ import annotations
 
-import time
 
-from pyspark.sql import DataFrame, SparkSession
+
+from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import canonicalize as C

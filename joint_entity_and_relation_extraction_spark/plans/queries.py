@@ -20,7 +20,7 @@ category demands a specific physical join (MERGE / SHUFFLE_HASH).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..sources.io import read_table
