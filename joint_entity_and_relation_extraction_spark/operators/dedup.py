@@ -256,6 +256,44 @@ def simhash_pairs(spark: SparkSession, sf_dir: str,
     )
 
 
+# --- near-dup clustering (pairs → connected components) ---------------------
+
+
+def neardup_clusters(spark: SparkSession, sf_dir: str, n: int = 2,
+                     threshold: float = 0.2) -> DataFrame:
+    """Near-duplicate clusters: Jaccard pairs → connected components →
+    (doc_id, cluster_id = min doc_id in the component). Composes the
+    shared-shingle pair join with the canonicalization CC machinery —
+    the keep-one-per-cluster primitive of corpus dedup."""
+    from .canonicalize import connected_components
+
+    pairs = ngram_jaccard_pairs(spark, sf_dir, n=n, threshold=threshold)
+    edges = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+    labels = connected_components(edges)
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("component").alias("cluster_id"))
+
+
+def sql_neardup_clusters(n: int = 2, threshold: float = 0.2) -> str:
+    """Recursive-CTE oracle: transitive closure over the pair graph, then
+    min reachable id per node."""
+    pairs = sql_ngram_jaccard(n, threshold)
+    return f"""
+WITH RECURSIVE jac AS ({pairs}),
+edges AS (
+  SELECT d1 AS u, d2 AS v FROM jac
+  UNION SELECT d2, d1 FROM jac
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+FROM reach GROUP BY u
+"""
+
+
 # --- embedding cosine near-dup ---------------------------------------------
 
 

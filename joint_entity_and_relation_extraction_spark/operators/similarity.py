@@ -79,6 +79,29 @@ SELECT qid, nid, cos, rank FROM (
 """
 
 
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid components (the E-step of spherical k-means /
+    the class-prototype primitive): posexplode the vectors, average each
+    dimension per label JVM-side."""
+    e = read_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy(F.col("label").cast("bigint").alias("label"),
+                 F.col("dim").cast("bigint").alias("dim"))
+        .agg(F.round(F.avg(F.col("x").cast("double")), 5).alias("centroid"))
+    )
+
+
+SQL_LABEL_CENTROIDS = """
+SELECT CAST(label AS BIGINT) AS "label", CAST(dim - 1 AS BIGINT) AS dim,
+       ROUND(AVG(CAST(x AS DOUBLE)), 5) AS centroid
+FROM (SELECT label, UNNEST(embedding) AS x,
+             GENERATE_SUBSCRIPTS(embedding, 1) AS dim
+      FROM embeddings)
+GROUP BY label, dim
+"""
+
+
 # --- random hyperplane LSH (scale path) -------------------------------------
 
 # (planes, tables) trade selectivity vs recall: p_collide = 1-(1-a^P)^T

@@ -112,6 +112,8 @@ ANALYTICS_QUERIES = {
     "dedup_minhash_lsh": partial(DD.minhash_lsh_pairs, n=2, threshold=0.2),
     "dedup_simhash": partial(DD.simhash_pairs, max_hamming=3),
     "dedup_embedding_cosine": partial(DD.embedding_neardup_pairs, threshold=0.3),
+    "dedup_clusters": partial(DD.neardup_clusters, n=2, threshold=0.2),
+    "emb_label_centroids": SIM.label_centroids,
     "ann_topk_bruteforce": partial(SIM.ann_bruteforce, n_queries=8, k=5),
     "ann_topk_lsh": partial(SIM.ann_lsh, n_queries=8, k=5),
     "text_token_stats": TS.token_stats,
@@ -129,6 +131,8 @@ ANALYTICS_ORACLE = {
     "dedup_exact": DD.SQL_EXACT_DEDUP,
     "dedup_ngram_jaccard": DD.sql_ngram_jaccard(n=2, threshold=0.2),
     "dedup_embedding_cosine": DD.sql_embedding_neardup(threshold=0.3),
+    "dedup_clusters": DD.sql_neardup_clusters(n=2, threshold=0.2),
+    "emb_label_centroids": SIM.SQL_LABEL_CENTROIDS,
     "ann_topk_bruteforce": SIM.sql_ann_bruteforce(n_queries=8, k=5),
     "text_token_stats": TS.SQL_TOKEN_STATS,
     "text_quality": TS.SQL_QUALITY_SCORES,
