@@ -80,3 +80,52 @@ def test_json_lines_source(spark, tmp_path):
                          "alias_norm string, entity_id long, prior double")
     got = {(r.alias_norm, r.entity_id, r.prior) for r in df.collect()}
     assert got == {("spark", 1, 0.9), ("flink", 2, 0.5)}
+
+
+def test_random_op_sequences_match_model(spark, tmp_path):
+    """Model-based check: random append / overwrite_partitions /
+    drop_partitions sequences must match a dict-of-partitions reference
+    model at every step, including reads pinned to historical snapshots."""
+    import random
+
+    rng = random.Random(11)
+    root = str(tmp_path / "mb")
+    model: dict[str, list[int]] = {}          # partition value -> values
+    history: list[tuple[int, dict]] = []      # (snapshot_id, model copy)
+
+    def df_for(batch):
+        return spark.createDataFrame(batch, "k string, v int")
+
+    for step in range(12):
+        op = rng.choice(["append", "overwrite", "drop"])
+        parts = rng.sample(["a", "b", "c", "d"], rng.randint(1, 2))
+        batch = [(p, step * 100 + i) for i, p in enumerate(parts)]
+        if op == "append" or not il.exists(root):
+            sid = il.append(df_for(batch), root, ["k"])
+            for p, v in batch:
+                model.setdefault(p, []).append(v)
+        elif op == "overwrite":
+            sid = il.overwrite_partitions(df_for(batch), root, ["k"])
+            for p in parts:
+                model[p] = []
+            for p, v in batch:
+                model.setdefault(p, []).append(v)
+        else:
+            victim = rng.choice(["a", "b", "c", "d"])
+            sid = il.drop_partitions(root, {"k": victim})
+            model.pop(victim, None)
+        history.append((sid, {k: sorted(v) for k, v in model.items()}))
+        got = {}
+        for r in il.read(spark, root).collect() if model else []:
+            got.setdefault(r.k, []).append(r.v)
+        assert {k: sorted(v) for k, v in got.items()} == \
+            {k: v for k, v in model.items() if v}
+    # time travel: every historical snapshot still reproduces its state
+    for sid, snap_model in history[::3]:
+        live = {k: v for k, v in snap_model.items() if v}
+        if not live:
+            continue
+        got = {}
+        for r in il.read(spark, root, snapshot=sid).collect():
+            got.setdefault(r.k, []).append(r.v)
+        assert {k: sorted(v) for k, v in got.items()} == live
