@@ -140,7 +140,11 @@ def canonical_triples_by_surface(triples_raw: DataFrame,
 
     t = (triples_raw
          .withColumn("subj_norm", normalize_col(F.col("subj_surface")))
-         .withColumn("obj_norm", normalize_col(F.col("obj_surface"))))
+         .withColumn("obj_norm", normalize_col(F.col("obj_surface")))
+         # punctuation-only mentions normalize to "" — they are not
+         # entities, and sharing one surface node would weld every such
+         # mention corpus-wide into a single bogus canonical id
+         .filter((F.col("subj_norm") != "") & (F.col("obj_norm") != "")))
     subj_map = F.broadcast(canon_map.select(
         F.col("alias_norm").alias("subj_norm"), F.col("canon_id").alias("subj")))
     obj_map = F.broadcast(canon_map.select(
@@ -168,6 +172,7 @@ def canonical_triples(triples_raw: DataFrame, assigned: DataFrame) -> DataFrame:
         triples_raw
         .join(subj, ["url", "sent_id", "subj_m"])
         .join(obj, ["url", "sent_id", "obj_m"])
+        .filter((F.col("subj_norm") != "") & (F.col("obj_norm") != ""))
         .select("url", "sent_id", "subj", "subj_norm", "pred",
                 "obj", "obj_norm", "score")
     )

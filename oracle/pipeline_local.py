@@ -186,6 +186,8 @@ def canonicalize(links: pd.DataFrame, triples: pd.DataFrame) -> pd.DataFrame:
     for t in triples.itertuples(index=False):
         sn, snorm = node[(t.url, t.sent_id, t.subj_m)]
         on, onorm = node[(t.url, t.sent_id, t.obj_m)]
+        if snorm == "" or onorm == "":
+            continue  # punctuation-only mentions are not entities
         rows.append((t.url, t.sent_id, labels.get(sn, sn), snorm, t.pred,
                      labels.get(on, on), onorm, t.score))
     return pd.DataFrame(rows, columns=[
