@@ -11,10 +11,20 @@ The single-process run of THIS code is the grading oracle for the
 P/R >= 0.95 gate (SURVEY.md §0.2, §5.2) — the Spark path must reproduce it
 exactly under any partitioning / Arrow batch size (test T2).
 
-Determinism notes: all math is float64; each sentence is encoded
-independently (no cross-sentence batching/padding), so results are
-independent of how rows are grouped into Arrow batches; argmax tie-break is
-numpy's lowest-index rule. NO pyspark imports here.
+Determinism under batching (the round-2 vectorization): inference is
+batched across sentences for throughput, but every BLAS call has a FIXED
+shape — sentences are bucketed by token length (LEN_BUCKETS) and padded to
+exactly BATCH_ROWS rows per chunk — because dgemm per-row results on this
+host's OpenBLAS *change with the M dimension* (verified empirically:
+(3,64)@(64,256) rows differ bitwise from the same rows inside
+(4096,64)@(64,256)), while for a fixed (M,K,N) they are invariant to row
+position and to the other rows' contents (tests/test_text.py pins this
+end-to-end). Cross-token reductions use fixed-length masked sums whose
+zero-padded tail contributes exact ±0.0 terms. Consequently a sentence's
+(mentions, relations) depend only on its own tokens — never on which Arrow
+batch, chunk, or row slot it lands in — so the single-process oracle and
+any Spark partitioning agree bitwise. All math is float64; argmax
+tie-break is numpy's lowest-index rule. NO pyspark imports here.
 """
 
 from __future__ import annotations
@@ -76,6 +86,13 @@ class _Weights:
         nrel = len(REL_LABELS) + 1
         self.Wbil = rng.standard_normal((nrel, NDIRS_H, NDIRS_H)) * (s / 8)
         self.Wlin = rng.standard_normal((nrel, 2 * NDIRS_H)) * s
+        # (2H, nrel*2H) layout so all relation classes fold into ONE gemm
+        # in rel_pairs: (S @ Wbil_flat)[m, r*2H + k] == sum_j S[m,j]*Wbil[r,j,k]
+        self.Wbil_flat = np.ascontiguousarray(
+            self.Wbil[:len(REL_LABELS)].transpose(1, 0, 2).reshape(
+                NDIRS_H, len(REL_LABELS) * NDIRS_H))
+        self.Wlin_head = np.ascontiguousarray(self.Wlin[:len(REL_LABELS), :NDIRS_H].T)
+        self.Wlin_tail = np.ascontiguousarray(self.Wlin[:len(REL_LABELS), NDIRS_H:].T)
         self.brel = rng.standard_normal(nrel) * s  # kept for weight-shape
         # parity; the decision rule uses centered scores + REL_TAU instead
         # positional encodings (precomputed, max sentence length 512)
@@ -102,47 +119,160 @@ def _sigmoid(x: np.ndarray) -> np.ndarray:
     return 1.0 / (1.0 + np.exp(-x))
 
 
-def _lstm_pass(x: np.ndarray, params, reverse: bool) -> np.ndarray:
+#: fixed length buckets: a sentence of T tokens always pads to the smallest
+#: bound >= T, so its gemm shapes are a pure function of its own length
+LEN_BUCKETS = (8, 16, 24, 32, 48, 64)
+#: fixed chunk height: every chunk is padded to exactly this many rows so
+#: the BLAS M dimension never varies (see module docstring)
+BATCH_ROWS = 512
+
+
+def _bucket_len(T: int) -> int:
+    for b in LEN_BUCKETS:
+        if T <= b:
+            return b
+    return LEN_BUCKETS[-1]
+
+
+#: reusable per-process buffers, keyed by (name, shape). Fresh 10–70 MB
+#: numpy outputs page-fault at ~0.15 GB/s on this host (measured: an
+#: allocating (32768,64)@(64,256) gemm runs at 1.0 GFLOP/s vs 7.8 with
+#: out=), so every fixed-shape intermediate is allocated once and reused.
+#: Safe because the shape set is finite by design and chunks are processed
+#: sequentially within one python worker process.
+_POOL: dict[tuple, np.ndarray] = {}
+
+
+def _buf(name: str, shape: tuple, dtype=np.float64) -> np.ndarray:
+    key = (name, shape, np.dtype(dtype).str)
+    b = _POOL.get(key)
+    if b is None:
+        b = np.empty(shape, dtype=dtype)
+        _POOL[key] = b
+    return b
+
+
+def _sigmoid_(v: np.ndarray) -> None:
+    """In-place 1/(1+exp(-v)) — value-identical to _sigmoid."""
+    np.negative(v, out=v)
+    np.exp(v, out=v)
+    v += 1.0
+    np.divide(1.0, v, out=v)
+
+
+def _lstm_chunk(x2d: np.ndarray, B: int, Tp: int, params, out: np.ndarray) -> None:
+    """Batched left-to-right LSTM over a fixed-shape chunk.
+
+    x2d: (B*Tp, D) contiguous; writes hidden states into out (B, Tp, H).
+    The python loop is over the Tp timesteps only; each step is one
+    fixed-shape (B, H)@(H, 4H) gemm, so the cost is O(Tp) interpreter
+    iterations per B sentences instead of O(B*T) per-sentence gemvs (the
+    round-1 scaling bottleneck, VERDICT.md item 1). Rows evolve
+    independently — no cross-row op — so out[b, :T_b] depends only on
+    x[b, :T_b]. All intermediates come from _POOL; elementwise ops run
+    in place (bitwise identical to the allocating forms).
+    """
     Wx, Wh, b = params
-    T = x.shape[0]
-    pre_x = x @ Wx + b  # (T, 4H) — input contribution precomputed
-    h = np.zeros(H)
-    c = np.zeros(H)
-    out = np.zeros((T, H))
-    order = range(T - 1, -1, -1) if reverse else range(T)
-    for t in order:
-        g = pre_x[t] + h @ Wh
-        # one vectorized sigmoid over all gates (elementwise ⇒ bitwise
-        # identical to per-slice calls; the g-gate slice of `s` is unused)
-        s = _sigmoid(g)
-        i, f, o = s[:H], s[H : 2 * H], s[3 * H :]
-        c = f * c + i * np.tanh(g[2 * H : 3 * H])
-        h = o * np.tanh(c)
-        out[t] = h
-    return out
+    pre = _buf("lstm_pre", (B * Tp, 4 * H))
+    np.matmul(x2d, Wx, out=pre)
+    pre += b
+    pre3 = pre.reshape(B, Tp, 4 * H)
+    h = _buf("lstm_h", (B, H))
+    c = _buf("lstm_c", (B, H))
+    h[:] = 0.0
+    c[:] = 0.0
+    g = _buf("lstm_g", (B, 4 * H))
+    tg = _buf("lstm_tg", (B, H))
+    fc = _buf("lstm_fc", (B, H))
+    for t in range(Tp):
+        np.matmul(h, Wh, out=g)
+        g += pre3[:, t]
+        # tanh of the raw g-gate BEFORE sigmoiding in place; the sigmoid
+        # runs only over the i,f,o slices (the g-gate sigmoid was never
+        # used — skipping it is value-identical and saves 1/4 of the exps)
+        np.tanh(g[:, 2 * H : 3 * H], out=tg)
+        _sigmoid_(g[:, : 2 * H])
+        _sigmoid_(g[:, 3 * H :])
+        i, f, o = g[:, :H], g[:, H : 2 * H], g[:, 3 * H :]
+        np.multiply(f, c, out=fc)
+        np.multiply(i, tg, out=tg)
+        np.add(fc, tg, out=c)
+        np.tanh(c, out=tg)
+        np.multiply(o, tg, out=h)
+        out[:, t] = h
+
+
+def _forward_chunk(ids: np.ndarray, lengths: np.ndarray):
+    """One fixed-shape inference chunk: ids (BATCH_ROWS, Tp) int64 padded
+    with 0, lengths (BATCH_ROWS,). → (h, logits, tags) where
+    h: (B, Tp, 2H), logits: (B, Tp, NTAGS), tags: (B, Tp); h and logits
+    are _POOL buffers, valid until the next chunk runs in this process.
+
+    Encoder shape per sentence (unchanged semantics from round 1):
+    embedding lookup → sinusoidal position add → global-context mixing
+    (the offline stand-in for BERT self-attention) → BiLSTM fwd+bwd concat
+    (the reference's BiLSTM-on-BERT stack, SURVEY.md §2.2 X5). The global
+    context is a masked fixed-length sum / T (pad slots contribute exact
+    ±0.0); the backward direction reverse-packs each row so the recurrence
+    starts at its own last token with zero state.
+    """
+    w = weights()
+    B, Tp = ids.shape
+    x0 = _buf("x0", (B * Tp, D))
+    np.take(w.emb, ids.reshape(-1), axis=0, out=x0)
+    x03 = x0.reshape(B, Tp, D)
+    x03 += w.pe[:Tp]
+    mask = np.arange(Tp)[None, :] < lengths[:, None]
+    mx = _buf("mx", (B, Tp, D))
+    np.multiply(x03, mask[:, :, None], out=mx)
+    g = _buf("gctx", (B, D))
+    np.sum(mx, axis=1, out=g)
+    g /= lengths[:, None]
+    x = _buf("xenc", (B * Tp, D))
+    np.matmul(x0, w.Wc, out=x)
+    gw = _buf("gw", (B, D))
+    np.matmul(g, w.Wg, out=gw)
+    x3 = x.reshape(B, Tp, D)
+    x3 += gw[:, None, :]
+    x3 += w.bc
+    np.tanh(x, out=x)
+    hcat = _buf("hcat", (B * Tp, NDIRS_H))
+    hcat3 = hcat.reshape(B, Tp, NDIRS_H)
+    _lstm_chunk(x, B, Tp, w.fw, hcat3[:, :, :H])
+    # reverse-pack each row (flat gather indices) so the backward
+    # recurrence starts at its own last token with zero state
+    ridx = lengths[:, None] - 1 - np.arange(Tp)[None, :]
+    np.maximum(ridx, 0, out=ridx)
+    flat = (np.arange(B, dtype=np.int64)[:, None] * Tp + ridx).reshape(-1)
+    xrev = _buf("xrev", (B * Tp, D))
+    np.take(x, flat, axis=0, out=xrev)
+    hbrev = _buf("hbrev", (B, Tp, H))
+    _lstm_chunk(xrev, B, Tp, w.bw, hbrev)
+    gath = _buf("gath", (B * Tp, H))
+    np.take(hbrev.reshape(-1, H), flat, axis=0, out=gath)
+    hcat3[:, :, H:] = gath.reshape(B, Tp, H)
+    logits = _buf("logits", (B * Tp, NTAGS))
+    np.matmul(hcat, w.Wtag, out=logits)
+    logits += w.btag
+    logits3 = logits.reshape(B, Tp, NTAGS)
+    tags = np.argmax(logits3, axis=2)
+    return hcat3, logits3, tags
 
 
 def encode(ids: list[int] | np.ndarray) -> np.ndarray:
-    """token ids → (T, 2H) contextual states.
-
-    embedding lookup → sinusoidal position add → global-context mixing
-    (the offline stand-in for BERT self-attention) → BiLSTM fwd+bwd concat
-    (the reference's BiLSTM-on-BERT stack, SURVEY.md §2.2 X5).
-    """
-    w = weights()
+    """token ids → (T, 2H) contextual states, via a batch-of-1 chunk so the
+    bits are identical to the batched path (kept for unit tests / repl)."""
     ids = np.asarray(ids, dtype=np.int64)
     T = ids.shape[0]
-    x = w.emb[ids] + w.pe[:T]
-    g = x.mean(axis=0)  # global context vector (deterministic, O(T))
-    x = np.tanh(x @ w.Wc + (g @ w.Wg)[None, :] + w.bc)
-    hf = _lstm_pass(x, w.fw, reverse=False)
-    hb = _lstm_pass(x, w.bw, reverse=True)
-    return np.concatenate([hf, hb], axis=1)
+    Tp = _bucket_len(T)
+    ids_pad = np.zeros((BATCH_ROWS, Tp), dtype=np.int64)
+    ids_pad[0, :T] = ids
+    lengths = np.ones(BATCH_ROWS, dtype=np.int64)
+    lengths[0] = T
+    h, _, _ = _forward_chunk(ids_pad, lengths)
+    return np.ascontiguousarray(h[0, :T])
 
 
-def tag_logits(h: np.ndarray) -> np.ndarray:
-    w = weights()
-    return h @ w.Wtag + w.btag
 
 
 def decode_bioes(tags: np.ndarray) -> list[tuple[int, int, str]]:
@@ -184,16 +314,6 @@ def decode_bioes(tags: np.ndarray) -> list[tuple[int, int, str]]:
     return spans
 
 
-def ner_spans(h: np.ndarray) -> list[tuple[int, int, str, float]]:
-    """(start, end, label, score) mentions; score = mean chosen-tag logit
-    over span tokens (rounded to 6 dp for cross-engine stability)."""
-    logits = tag_logits(h)
-    tags = np.argmax(logits, axis=1)
-    out = []
-    for s, e, lab in decode_bioes(tags)[:MAX_MENTIONS]:
-        sc = float(np.mean(logits[np.arange(s, e), tags[s:e]]))
-        out.append((s, e, lab, round(sc, 6)))
-    return out
 
 
 #: per-class firing thresholds over the CENTERED biaffine score,
@@ -204,61 +324,195 @@ def ner_spans(h: np.ndarray) -> list[tuple[int, int, str, float]]:
 REL_TAU = np.array([0.1301, 0.2988, 0.2024, 0.1490, 0.3162])
 
 
-def rel_pairs(
-    h: np.ndarray, spans: list[tuple[int, int, str, float]]
-) -> list[tuple[int, int, str, float]]:
-    """Biaffine ordered-pair scorer (SURVEY.md §2.2 X7):
-    score_r(i,j) = s_i^T W_r s_j + u_r·[s_i;s_j] over span-averaged
-    states, CENTERED per class by its value at the sentence-mean span
-    vector (span vectors share a large common mode from the global
-    context mixing — the pair-specific deviation is the signal). A pair
-    fires iff the argmax class's centered score clears its calibrated
-    REL_TAU; confidence = sigmoid of the margin. Emits
-    (head_mention_idx, tail_mention_idx, rel_label, prob).
+#: fixed mention-count buckets for the batched biaffine stage
+REL_BUCKETS = (2, 4, 6, 8, 12, 16, 20)
+#: fixed chunk height for the biaffine stage — smaller than BATCH_ROWS so
+#: thin mention-buckets don't pay a 4x dummy-row padding tax
+REL_ROWS = 128
+
+
+def _rel_bucket(M: int) -> int:
+    for b in REL_BUCKETS:
+        if M <= b:
+            return b
+    return REL_BUCKETS[-1]
+
+
+def _span_stage(h, logits, tags, chunk_rows, lengths_of):
+    """Per encode-chunk span head: BIOES decode per sentence (python state
+    machine) + ONE batched cumsum/gather for all span scores and all
+    span-averaged state vectors S.
+
+    Returns [(spans, S (M,2H) contiguous copy or None)] aligned with
+    chunk_rows. Bitwise identical to the per-sentence path: the chunk
+    cumsums' prefixes at t<=L equal the per-sentence cumsums.
     """
-    M = len(spans)
-    if M < 2:
-        return []
-    w = weights()
-    S = np.stack([h[s:e].mean(axis=0) for s, e, _, _ in spans])  # (M, 2H)
-    nrel = len(REL_LABELS)
-    scores = np.zeros((nrel, M, M))
-    sbar = S.mean(axis=0)
-    for r in range(nrel):
-        scores[r] = S @ w.Wbil[r] @ S.T
-        # u_r·[s_i; s_j] decomposes into head part (rows) + tail part (cols)
-        scores[r] += (S @ w.Wlin[r, :NDIRS_H])[:, None]
-        scores[r] += (S @ w.Wlin[r, NDIRS_H:])[None, :]
-        scores[r] -= (sbar @ w.Wbil[r] @ sbar
-                      + sbar @ w.Wlin[r, :NDIRS_H] + sbar @ w.Wlin[r, NDIRS_H:])
-    # vectorized per-pair class argmax (lowest-index tie-break), then the
-    # margin gate; python loop only over firing pairs
-    r_star = np.argmax(scores, axis=0)  # (M, M)
-    best = np.take_along_axis(scores, r_star[None], axis=0)[0]
-    margin = best - REL_TAU[r_star]
+    B, Tp = tags.shape
+    spans_by_row: list[list] = []
+    starts = _buf("sp_starts", (B, MAX_MENTIONS), np.int64)
+    ends = _buf("sp_ends", (B, MAX_MENTIONS), np.int64)
+    starts[:] = 0
+    ends[:] = 0
+    for row, i in enumerate(chunk_rows):
+        L = lengths_of(i)
+        sp = decode_bioes(tags[row, :L])[:MAX_MENTIONS]
+        spans_by_row.append(sp)
+        for m, (s, e, _) in enumerate(sp):
+            starts[row, m] = s
+            ends[row, m] = e
+    rows = np.arange(B)[:, None]
+    # span scores: cumsum of the chosen-tag logit, then (cum[e]-cum[s])/(e-s)
+    chosen = _buf("sp_chosen", (B, Tp))
+    flat_tag = (np.arange(B * Tp, dtype=np.int64) * NTAGS + tags.reshape(-1))
+    np.take(logits.reshape(-1), flat_tag, out=chosen.reshape(-1))
+    ccum = _buf("sp_ccum", (B, Tp + 1))
+    ccum[:, 0] = 0.0
+    np.cumsum(chosen, axis=1, out=ccum[:, 1:])
+    lens = ends - starts
+    denom = np.maximum(lens, 1)
+    span_score = (ccum[rows, ends] - ccum[rows, starts]) / denom
+    # span-averaged states: same cumsum/gather over h
+    hcum = _buf("sp_hcum", (B, Tp + 1, NDIRS_H))
+    hcum[:, 0] = 0.0
+    np.cumsum(h, axis=1, out=hcum[:, 1:])
+    hcum2 = hcum.reshape(-1, NDIRS_H)
+    flat_sp = rows * (Tp + 1)
+    g1 = _buf("sp_g1", (B * MAX_MENTIONS, NDIRS_H))
+    g2 = _buf("sp_g2", (B * MAX_MENTIONS, NDIRS_H))
+    np.take(hcum2, (flat_sp + ends).reshape(-1), axis=0, out=g1)
+    np.take(hcum2, (flat_sp + starts).reshape(-1), axis=0, out=g2)
+    np.subtract(g1, g2, out=g1)
+    S_all = g1.reshape(B, MAX_MENTIONS, NDIRS_H)
+    S_all /= denom[:, :, None]
     out = []
-    for i, j in zip(*np.nonzero(margin > 0)):
-        if i == j:
-            continue
-        r = int(r_star[i, j])
-        prob = float(1.0 / (1.0 + np.exp(-margin[i, j])))
-        out.append((int(i), int(j), REL_LABELS[r], round(prob, 6)))
+    for row, sp in enumerate(spans_by_row):
+        M = len(sp)
+        spans = [
+            (s, e, lab, round(float(span_score[row, m]), 6))
+            for m, (s, e, lab) in enumerate(sp)
+        ]
+        # .copy(), NOT ascontiguousarray: S_all is a _POOL buffer that the
+        # next chunk overwrites, and ascontiguousarray would return a view
+        S = S_all[row, :M].copy() if M >= 2 else None
+        out.append((spans, S))
     return out
 
 
-def extract_sentence(tokens: list[str]) -> tuple[list, list]:
-    """Full per-sentence inference: tokens → (mentions, relations).
+def _rel_stage(items: list[tuple[int, np.ndarray, int]], results) -> None:
+    """Batched biaffine scoring over all sentences with >=2 mentions.
+
+    items: (sentence_index, S (M,2H), M). Sentences are grouped by mention
+    bucket (REL_BUCKETS) and padded to (REL_ROWS, Mb, 2H) chunks; every
+    gemm shape is a pure function of Mb, so a sentence's pair scores depend
+    only on its own S (pad rows are exact zeros; their products contribute
+    nothing that is read back). Appends relation lists into results[i][1].
+    """
+    w = weights()
+    nrel = len(REL_LABELS)
+    by_mb: dict[int, list[tuple[int, np.ndarray, int]]] = {}
+    for it in items:
+        by_mb.setdefault(_rel_bucket(it[2]), []).append(it)
+    for Mb in sorted(by_mb):
+        group = by_mb[Mb]
+        for c0 in range(0, len(group), REL_ROWS):
+            chunk = group[c0 : c0 + REL_ROWS]
+            B = REL_ROWS
+            S = _buf("rel_S", (B, Mb, NDIRS_H))
+            S[:] = 0.0
+            nsp = _buf("rel_nsp", (B,), np.int64)
+            nsp[:] = 0
+            for row, (i, Si, M) in enumerate(chunk):
+                S[row, :M] = Si
+                nsp[row] = M
+            S2 = S.reshape(B * Mb, NDIRS_H)
+            # all classes in one fixed-shape gemm per chunk
+            SWb = _buf("rel_SW", (B * Mb, nrel * NDIRS_H))
+            np.matmul(S2, w.Wbil_flat, out=SWb)
+            SW = SWb.reshape(B, Mb, nrel, NDIRS_H).transpose(0, 2, 1, 3)
+            scores = _buf("rel_scores", (B, nrel, Mb, Mb))
+            np.matmul(SW, S[:, None].transpose(0, 1, 3, 2), out=scores)
+            lh = _buf("rel_lh", (B * Mb, nrel))
+            lt = _buf("rel_lt", (B * Mb, nrel))
+            np.matmul(S2, w.Wlin_head, out=lh)
+            np.matmul(S2, w.Wlin_tail, out=lt)
+            scores += lh.reshape(B, Mb, nrel).transpose(0, 2, 1)[:, :, :, None]
+            scores += lt.reshape(B, Mb, nrel).transpose(0, 2, 1)[:, :, None, :]
+            # center per class at the sentence-mean span vector (zero pad
+            # rows are exact, so the fixed-Mb sum equals the M-row sum)
+            sbar = _buf("rel_sbar", (B, NDIRS_H))
+            np.sum(S, axis=1, out=sbar)
+            sbar /= np.maximum(nsp, 1)[:, None]
+            sbW = (sbar @ w.Wbil_flat).reshape(B, nrel, NDIRS_H)
+            cen = np.matmul(sbW, sbar[:, :, None])[:, :, 0]  # (B,nrel)
+            cen += sbar @ w.Wlin_head
+            cen += sbar @ w.Wlin_tail
+            scores -= cen[:, :, None, None]
+            r_star = np.argmax(scores, axis=1)  # (B,Mb,Mb)
+            best = np.take_along_axis(scores, r_star[:, None], axis=1)[:, 0]
+            margin = best - REL_TAU[r_star]
+            valid = np.arange(Mb)[None, :] < nsp[:, None]
+            fire = ((margin > 0)
+                    & valid[:, :, None] & valid[:, None, :]
+                    & ~np.eye(Mb, dtype=bool)[None])
+            for b, i_, j_ in np.argwhere(fire):
+                idx = chunk[b][0]
+                r = int(r_star[b, i_, j_])
+                prob = float(1.0 / (1.0 + np.exp(-margin[b, i_, j_])))
+                results[idx][1].append(
+                    (int(i_), int(j_), REL_LABELS[r], round(prob, 6)))
+
+
+def extract_batch(token_lists: list[list[str]]) -> list[tuple[list, list]]:
+    """Batched inference: list of token lists → list of (mentions,
+    relations), order-aligned with the input.
 
     mentions: [(start, end, label, score)], relations:
-    [(head_idx, tail_idx, rel_label, prob)]. This is the unit both the
-    Spark mapInPandas stage and the single-process oracle call.
+    [(head_idx, tail_idx, rel_label, prob)]. This is THE inference kernel:
+    both the Spark mapInPandas stage and the single-process oracle call it,
+    with whatever chunking their input arrives in — the fixed-shape design
+    (module docstring) makes the result invariant to that chunking.
+
+    Three stages, all batched: (1) encoder+tagger over fixed-shape
+    length-bucketed chunks (_forward_chunk); (2) span head — per-sentence
+    BIOES decode plus one chunk-level cumsum/gather for scores and span
+    vectors (_span_stage); (3) biaffine pair scorer over fixed-shape
+    mention-bucketed chunks (_rel_stage).
     """
     from .text import token_ids
 
-    ids = token_ids(tokens)
-    if not ids:
-        return [], []
-    h = encode(ids)
-    spans = ner_spans(h)
-    rels = rel_pairs(h, spans)
-    return spans, rels
+    n = len(token_lists)
+    results: list[tuple[list, list]] = [([], []) for _ in range(n)]
+    ids_all: list[list[int]] = []
+    by_bucket: dict[int, list[int]] = {}
+    for i, toks in enumerate(token_lists):
+        ids = token_ids(list(toks))
+        ids_all.append(ids)
+        if ids:
+            by_bucket.setdefault(_bucket_len(len(ids)), []).append(i)
+    weights()
+    rel_items: list[tuple[int, np.ndarray, int]] = []
+    for Tp in sorted(by_bucket):
+        idxs = by_bucket[Tp]
+        for c0 in range(0, len(idxs), BATCH_ROWS):
+            chunk = idxs[c0 : c0 + BATCH_ROWS]
+            ids_pad = np.zeros((BATCH_ROWS, Tp), dtype=np.int64)
+            lengths = np.ones(BATCH_ROWS, dtype=np.int64)
+            for row, i in enumerate(chunk):
+                ids = ids_all[i]
+                ids_pad[row, : len(ids)] = ids
+                lengths[row] = len(ids)
+            h, logits, tags = _forward_chunk(ids_pad, lengths)
+            staged = _span_stage(
+                h, logits, tags, chunk, lambda i: len(ids_all[i]))
+            for (spans, S), i in zip(staged, chunk):
+                results[i] = (spans, [])
+                if S is not None:
+                    rel_items.append((i, S, len(spans)))
+    _rel_stage(rel_items, results)
+    return results
+
+
+def extract_sentence(tokens: list[str]) -> tuple[list, list]:
+    """Single-sentence inference: a batch-of-1 through extract_batch, so
+    the bits match the batched Spark/oracle path exactly."""
+    return extract_batch([tokens])[0]

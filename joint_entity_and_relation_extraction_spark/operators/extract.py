@@ -116,8 +116,11 @@ def _infer_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     M.weights()
     for pdf in batches:
         ments, rels = [], []
-        for toks in pdf["tokens"]:
-            spans, pairs = M.extract_sentence(list(toks))
+        # one fixed-shape batched pass over the whole Arrow batch
+        # (functions/model.py extract_batch — results are invariant to how
+        # rows are grouped into batches, so any partitioning reproduces the
+        # single-process oracle bitwise)
+        for spans, pairs in M.extract_batch(list(pdf["tokens"])):
             ments.append(
                 [{"start": int(s), "end": int(e), "label": lab, "score": sc}
                  for s, e, lab, sc in spans])

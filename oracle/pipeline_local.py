@@ -62,9 +62,10 @@ def split_sentences(extracted: pd.DataFrame) -> pd.DataFrame:
 def infer(sentences: pd.DataFrame) -> tuple[pd.DataFrame, pd.DataFrame]:
     """→ (mentions, triples_raw) with the same columns as the Spark stages."""
     ment_rows, rel_rows = [], []
-    for r in sentences.itertuples(index=False):
-        toks = list(r.tokens)
-        spans, pairs = M.extract_sentence(toks)
+    all_toks = [list(r.tokens) for r in sentences.itertuples(index=False)]
+    extracted = M.extract_batch(all_toks)
+    for r, toks, (spans, pairs) in zip(
+            sentences.itertuples(index=False), all_toks, extracted):
         for m_id, (s, e, lab, sc) in enumerate(spans):
             ment_rows.append((r.url, r.sent_id, m_id, s, e, lab,
                               " ".join(toks[s:e]), sc))

@@ -102,3 +102,38 @@ def test_model_deterministic_and_shapes():
         assert 0 <= st < en <= len(toks) and lab in M.ENT_LABELS
     for h, t, p, sc in rels:
         assert h != t and p in M.REL_LABELS and 0 < sc <= 1
+
+
+def test_extract_batch_invariant_to_batching():
+    """Pins the fixed-shape determinism contract (functions/model.py module
+    docstring): a sentence's (mentions, relations) must be bitwise identical
+    no matter how sentences are grouped into batches, which row slot they
+    occupy, or which other sentences share the chunk. This is what makes the
+    Spark mapInPandas stage reproduce the single-process oracle under any
+    partitioning / Arrow batch size (T2)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    words = ("alice bob acme corp london paris works lives killed the of and"
+             " in quick brown fox jumps over lazy dog").split()
+    sents = [
+        [words[int(rng.integers(0, len(words)))]
+         for _ in range(int(rng.integers(1, 64)))]
+        for _ in range(150)
+    ]
+    sents.append([])  # empty sentence stays ([], [])
+    ref = M.extract_batch(sents)
+    assert ref[-1] == ([], [])
+    # odd chunk sizes straddling LEN/REL bucket chunk boundaries
+    chunked = []
+    i = 0
+    for sz in (1, 2, 5, 17, 40, 86):
+        chunked.extend(M.extract_batch(sents[i:i + sz]))
+        i += sz
+    assert chunked == ref
+    # row-slot / companion independence
+    perm = list(rng.permutation(len(sents)))
+    shuf = M.extract_batch([sents[p] for p in perm])
+    assert [shuf[perm.index(k)] for k in range(len(sents))] == ref
+    # batch-of-1 (the oracle unit) equals the batched path
+    assert [M.extract_sentence(s) for s in sents[:10]] == ref[:10]
