@@ -123,8 +123,13 @@ def _sigmoid(x: np.ndarray) -> np.ndarray:
 #: bound >= T, so its gemm shapes are a pure function of its own length
 LEN_BUCKETS = (8, 16, 24, 32, 48, 64)
 #: fixed chunk height: every chunk is padded to exactly this many rows so
-#: the BLAS M dimension never varies (see module docstring)
-BATCH_ROWS = 512
+#: the BLAS M dimension never varies (see module docstring). 128 measured
+#: fastest across the sweep {64,128,256,512} at 1 AND 32 concurrent
+#: workers (big chunks blow the per-core cache share: B=512 is 0.6x the
+#: single-proc throughput of B=128 and keeps only 0.65 of it at 32 procs
+#: vs 0.70) and keeps thin partitions (few hundred distinct sentences)
+#: from paying a 4x dummy-row padding tax.
+BATCH_ROWS = 128
 
 
 def _bucket_len(T: int) -> int:

@@ -35,11 +35,14 @@ def connected_components(edges: DataFrame, max_iter: int = 30,
     Hybrid strategy: small (dictionary-sized) graphs are union-found on
     the driver in one collect — O(E α(E)) and zero shuffle; larger graphs
     run the iterative min-propagation below. Both paths produce identical
-    labels (property-tested)."""
+    labels (property-tested). The dispatch decision is a distributed
+    count() — never a collect — so a too-big edge set costs one cheap
+    aggregate instead of funnelling 2M+ rows through one task into driver
+    memory (round-1 probe, VERDICT.md "What's wrong" #3); rows only move
+    to the driver once the count proves they fit."""
     if not force_distributed:
-        sample = edges.limit(DRIVER_CC_MAX_EDGES + 1).collect()
-        if len(sample) <= DRIVER_CC_MAX_EDGES:
-            return _driver_union_find(edges.sparkSession, sample)
+        if edges.count() <= DRIVER_CC_MAX_EDGES:
+            return _driver_union_find(edges.sparkSession, edges.collect())
     return _propagate(edges, max_iter)
 
 

@@ -58,16 +58,33 @@ FROM documents GROUP BY MD5(text)
 # --- n-gram Jaccard (built-ins, oracle-able) --------------------------------
 
 
+#: document-frequency cap: shingles appearing in more than this many
+#: documents are dropped BEFORE the self-join. On Zipfian text a single
+#: stop-word shingle ("of the") otherwise creates a quadratic join group —
+#: the round-1 scale bug (VERDICT.md "What's wrong" #1). Jaccard is then
+#: defined over the capped shingle sets on BOTH engines (sizes too), so the
+#: Spark plan and the DuckDB oracle stay value-identical.
+MAX_SHINGLE_DF = 100
+
+
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, n: int = 2,
-                        threshold: float = 0.2) -> DataFrame:
+                        threshold: float = 0.2,
+                        max_df: int = MAX_SHINGLE_DF) -> DataFrame:
     """Candidate pairs via shared-shingle equi-join (shuffle on shingle),
     Jaccard from per-doc shingle counts — |A∩B| arrives from the join
-    group size, so no array intersection is ever materialized.
+    group size, so no array intersection is ever materialized. Shingles
+    with document frequency > max_df are excluded from both the join and
+    the per-doc set sizes, bounding every join group at max_df rows
+    (≤ max_df² pair fragments), which keeps the shuffle O(n·max_df) on
+    hot-shingle corpora instead of O(hot²).
     """
     d = read_table(spark, sf_dir, "documents").select(
         "doc_id", _shingles_expr(n).alias("sh"))
-    sizes = d.select("doc_id", F.size("sh").alias("n_sh"))
-    ex = d.select("doc_id", F.explode("sh").alias("shingle"))
+    ex_all = d.select("doc_id", F.explode("sh").alias("shingle"))
+    rare = (ex_all.groupBy("shingle").agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df).select("shingle"))
+    ex = ex_all.join(rare, "shingle")
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = ex.alias("a")
     b = ex.alias("b")
     pairs = (
@@ -90,15 +107,23 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, n: int = 2,
     )
 
 
-def sql_ngram_jaccard(n: int = 2, threshold: float = 0.2) -> str:
+def sql_ngram_jaccard(n: int = 2, threshold: float = 0.2,
+                      max_df: int = MAX_SHINGLE_DF) -> str:
+    # WHERE filters on ROUND(...,6) to match the Spark plan exactly
+    # (a raw value just below the threshold that rounds up must pass on
+    # both engines identically)
     return f"""
-WITH sh AS (
+WITH sh_all AS (
   SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
     GENERATE_SERIES(1, GREATEST(LEN(words) - {n - 1}, 0)),
     i -> ARRAY_TO_STRING(words[i:i+{n - 1}], ' ')
   ))) AS shingle
   FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS words FROM documents)
 ),
+rare AS (
+  SELECT shingle FROM sh_all GROUP BY shingle HAVING COUNT(*) <= {max_df}
+),
+sh AS (SELECT doc_id, sh_all.shingle FROM sh_all JOIN rare USING (shingle)),
 sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_sh FROM sh GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id d1, b.doc_id d2, CAST(COUNT(*) AS BIGINT) n_common
@@ -108,7 +133,7 @@ pairs AS (
 SELECT d1, d2, n_common,
        ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
 FROM pairs JOIN sizes sa ON d1 = sa.doc_id JOIN sizes sb ON d2 = sb.doc_id
-WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= {threshold}
+WHERE ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) >= {threshold}
 """
 
 
@@ -170,8 +195,13 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, n: int = 2,
     uniform hashes, so no skew; candidate count ≈ true-pair count at the
     chosen (b, r) S-curve.
     """
+    # no .persist(): the returned DataFrame is lazy, so a persist here can
+    # never be paired with an unpersist and pins cached blocks for the whole
+    # session (round-1 leak). The shingle projection is recomputed by the
+    # band stage and the verify joins — a narrow scan+split each time, which
+    # is also the only shape that works at 100 TB (caching the corpus isn't).
     d = read_table(spark, sf_dir, "documents").select(
-        "doc_id", _shingles_expr(n).alias("sh")).persist()
+        "doc_id", _shingles_expr(n).alias("sh"))
     banded = d.select(
         "doc_id",
         F.posexplode(minhash_bands_udf(F.expr(_HASHED_SHINGLES))).alias(

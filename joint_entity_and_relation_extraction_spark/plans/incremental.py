@@ -70,13 +70,12 @@ def merge_triple_evidence(spark: SparkSession, table_root: str,
     if not preds:
         return delta
     if il.exists(table_root):
-        try:
-            existing = il.read(spark, table_root, where={"pred": preds})
-        except ValueError:  # none of these preds materialized yet
-            existing = None
+        # read() returns an empty schema-typed frame when the preds have
+        # not materialized yet — no exception-as-control-flow
+        existing = il.read(spark, table_root, where={"pred": preds})
+        merged = delta if existing.isEmpty() else _combine(existing, delta)
     else:
-        existing = None
-    merged = _combine(existing, delta) if existing is not None else delta
+        merged = delta
     merged = merged.repartition(F.col("pred"),
                                 F.pmod(F.hash("subj"), F.lit(8)))
     il.overwrite_partitions(merged, table_root, ["pred"])

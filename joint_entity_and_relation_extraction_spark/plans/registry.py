@@ -46,15 +46,40 @@ _INFER_CACHE: dict = {}
 
 
 def _inferred(spark, sf):
-    """Persisted-and-memoized inference results per (session, sf_dir):
+    """Persisted-and-memoized inference results per (application, sf_dir):
     several kg_* queries share the expensive extract→infer prefix; the
     driver runs them back-to-back in one session, so recomputing the
-    model stage per query would triple its correctness-run cost."""
-    key = (id(spark), sf)
+    model stage per query would triple its correctness-run cost.
+
+    Keyed by applicationId, not id(spark): a stopped session's id() can be
+    reused by a new SparkSession, which would hand back a DataFrame bound
+    to a dead context. Entries from other applications are evicted (and
+    their cached blocks dropped if the context is still alive) so the
+    cache never outlives one driver run; clear_caches() is the explicit
+    hook for callers that finish early."""
+    app = spark.sparkContext.applicationId
+    key = (app, sf)
     if key not in _INFER_CACHE:
+        for old_key, df in list(_INFER_CACHE.items()):
+            if old_key[0] != app:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass  # context already gone — nothing to release
+                del _INFER_CACHE[old_key]
         ext = X.lang_filter(X.extract_text(web_pages(spark, sf)))
         _INFER_CACHE[key] = X.infer(X.split_sentences(ext)).persist()
     return _INFER_CACHE[key]
+
+
+def clear_caches() -> None:
+    """Unpersist and drop every memoized inference DataFrame."""
+    for df in _INFER_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _INFER_CACHE.clear()
 
 
 def q_kg_mentions(spark, sf):

@@ -22,6 +22,7 @@ composing the table at that version, so reads never list the filesystem.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import time
@@ -43,12 +44,42 @@ def _load(root: str) -> dict:
 
 
 def _commit(root: str, manifest: dict) -> None:
-    """Last-write-atomic commit: temp file + os.replace (SURVEY.md §7 hard
-    part 5)."""
+    """Atomic manifest swap: temp file + os.replace (SURVEY.md §7 hard
+    part 5). Callers hold _meta_lock so the read-merge-replace is not
+    last-write-wins."""
     tmp = _manifest_path(root) + f".tmp-{os.getpid()}-{time.time_ns()}"
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     os.replace(tmp, _manifest_path(root))
+
+
+@contextlib.contextmanager
+def _meta_lock(root: str, timeout: float = 60.0):
+    """Exclusive metadata-merge lock (O_CREAT|O_EXCL lock file).
+
+    Iceberg proper does optimistic CAS against a catalog; on a plain
+    filesystem os.replace alone is last-write-wins, so two concurrent
+    writers (e.g. a streaming append and a lineage append on one table)
+    could silently drop each other's snapshot. Every writer re-loads the
+    manifest UNDER this lock and merges against the then-current parent,
+    which restores the lost-update guarantee. On a real cluster this whole
+    module is swapped for iceberg-spark-runtime (module docstring)."""
+    os.makedirs(root, exist_ok=True)
+    lock = os.path.join(root, "manifest.lock")
+    deadline = time.monotonic() + timeout
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            if time.monotonic() > deadline:
+                raise TimeoutError(f"could not acquire {lock} in {timeout}s")
+            time.sleep(0.05)
+    try:
+        yield
+    finally:
+        os.close(fd)
+        os.unlink(lock)
 
 
 def _leaf_units(snap_dir: str) -> list[str]:
@@ -72,9 +103,12 @@ def _partition_values(unit: str) -> dict[str, str]:
     return vals
 
 
-def _write_snapshot(df: DataFrame, root: str, snap_id: int,
+def _write_snapshot(df: DataFrame, root: str, token: str,
                     partition_by: list[str]) -> list[str]:
-    snap_dir = os.path.join(root, "data", f"snap-{snap_id}")
+    # snapshot DIRECTORY names are writer-unique tokens (pid+time), not the
+    # snapshot id: the id is assigned under _meta_lock AFTER the files are
+    # written, so two concurrent writers never race on one directory
+    snap_dir = os.path.join(root, "data", f"snap-{token}")
     writer = df.write.mode("errorifexists")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -82,52 +116,76 @@ def _write_snapshot(df: DataFrame, root: str, snap_id: int,
     return _leaf_units(snap_dir)
 
 
+def _new_token() -> str:
+    return f"{time.time_ns()}-{os.getpid()}"
+
+
 def _next_id(manifest: dict) -> int:
     ids = [s["id"] for s in manifest["snapshots"]]
     return (max(ids) + 1) if ids else 1
 
 
-def append(df: DataFrame, root: str, partition_by: list[str] | None = None) -> int:
-    """SNK1: append a snapshot; returns the new snapshot id."""
-    m = _load(root)
-    partition_by = partition_by or m["partition_by"]
-    snap_id = _next_id(m)
-    new_units = _write_snapshot(df, root, snap_id, partition_by)
-    parent = m["current_snapshot"]
-    prev = _units_at(m, parent)
-    m["partition_by"] = partition_by
-    m["snapshots"].append({
-        "id": snap_id, "parent": parent, "operation": "append",
-        "units": prev + new_units, "added": new_units,
-        "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
-    })
-    m["current_snapshot"] = snap_id
-    _commit(root, m)
+def append(df: DataFrame, root: str, partition_by: list[str] | None = None,
+           tag: str | None = None) -> int:
+    """SNK1: append a snapshot; returns the new snapshot id.
+
+    ``tag`` is an idempotency token recorded in the snapshot (e.g. a
+    streaming micro-batch id); see :func:`committed_tags`.
+    """
+    partition_by = partition_by or _load(root)["partition_by"]
+    new_units = _write_snapshot(df, root, _new_token(), partition_by)
+    schema_json = df.schema.json()
+    with _meta_lock(root):
+        m = _load(root)
+        parent = m["current_snapshot"]
+        snap_id = _next_id(m)
+        m["partition_by"] = partition_by
+        m["schema"] = schema_json
+        m["snapshots"].append({
+            "id": snap_id, "parent": parent, "operation": "append",
+            "units": _units_at(m, parent) + new_units, "added": new_units,
+            "tag": tag,
+            "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        })
+        m["current_snapshot"] = snap_id
+        _commit(root, m)
     return snap_id
 
 
 def overwrite_partitions(df: DataFrame, root: str,
-                         partition_by: list[str] | None = None) -> int:
+                         partition_by: list[str] | None = None,
+                         tag: str | None = None) -> int:
     """SNK2: dynamic-partition overwrite — partitions present in ``df``
     replace their previous units; untouched partitions survive. Idempotent
     re-runs of a stage therefore converge (checkpoint-resume, SURVEY.md §3.2)."""
-    m = _load(root)
-    partition_by = partition_by or m["partition_by"]
-    snap_id = _next_id(m)
-    new_units = _write_snapshot(df, root, snap_id, partition_by)
+    partition_by = partition_by or _load(root)["partition_by"]
+    new_units = _write_snapshot(df, root, _new_token(), partition_by)
+    schema_json = df.schema.json()
     replaced = {tuple(sorted(_partition_values(u).items())) for u in new_units}
-    parent = m["current_snapshot"]
-    kept = [u for u in _units_at(m, parent)
-            if tuple(sorted(_partition_values(u).items())) not in replaced]
-    m["partition_by"] = partition_by
-    m["snapshots"].append({
-        "id": snap_id, "parent": parent, "operation": "overwrite",
-        "units": kept + new_units, "added": new_units,
-        "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
-    })
-    m["current_snapshot"] = snap_id
-    _commit(root, m)
+    with _meta_lock(root):
+        m = _load(root)
+        parent = m["current_snapshot"]
+        snap_id = _next_id(m)
+        kept = [u for u in _units_at(m, parent)
+                if tuple(sorted(_partition_values(u).items())) not in replaced]
+        m["partition_by"] = partition_by
+        m["schema"] = schema_json
+        m["snapshots"].append({
+            "id": snap_id, "parent": parent, "operation": "overwrite",
+            "units": kept + new_units, "added": new_units,
+            "tag": tag,
+            "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        })
+        m["current_snapshot"] = snap_id
+        _commit(root, m)
     return snap_id
+
+
+def committed_tags(root: str) -> set[str]:
+    """Idempotency tags of all committed snapshots — lets a replayed
+    micro-batch detect it already committed (exactly-once foreachBatch)."""
+    return {s["tag"] for s in _load(root)["snapshots"]
+            if s.get("tag") is not None}
 
 
 def _units_at(manifest: dict, snapshot: int | None) -> list[str]:
@@ -168,9 +226,14 @@ def read(spark: SparkSession, root: str, snapshot: int | None = None,
     ``where`` maps partition column → value (or list of values); matching is
     done against the ``col=value`` path components BEFORE any Spark plan is
     built, so pruned partitions are never even listed — the IcebergLite
-    analogue of Iceberg manifest pruning (SURVEY.md §4.2). Returns an empty
-    DataFrame with no schema knowledge if the table has no snapshot yet —
-    callers use :func:`exists` / :func:`is_empty` first.
+    analogue of Iceberg manifest pruning (SURVEY.md §4.2).
+
+    When no units survive — the table is empty at this snapshot, or
+    ``where`` pruned everything — returns an EMPTY DataFrame with the
+    table's committed schema (stored in the manifest at write time), so
+    callers never need exceptions as control flow. Reading a table that
+    has never been written (no snapshot, no schema) raises ValueError;
+    probe with :func:`exists` / :func:`is_empty` first.
     """
     m = _load(root)
     snap = snapshot if snapshot is not None else m["current_snapshot"]
@@ -186,8 +249,13 @@ def read(spark: SparkSession, root: str, snapshot: int | None = None,
             return True
         units = [u for u in units if keep(u)]
     if not units:
-        raise ValueError(f"IcebergLite table {root} has no data"
-                         f" (snapshot={snap}, where={where})")
+        schema_json = m.get("schema")
+        if schema_json is None:
+            raise ValueError(
+                f"IcebergLite table {root} has never been written"
+                f" (snapshot={snap}, where={where})")
+        from pyspark.sql.types import StructType
+        return spark.createDataFrame([], StructType.fromJson(json.loads(schema_json)))
     # group by owning snap dir so partition columns resolve via basePath
     by_snap: dict[str, list[str]] = {}
     for u in units:

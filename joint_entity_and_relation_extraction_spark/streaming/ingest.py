@@ -5,7 +5,9 @@ because the engine ingests Common-Crawl-style pages incrementally. All run
 over the same web_pages schema; the batch extraction operators are reused
 unchanged inside foreachBatch (micro-batch = small batch), which is what
 makes the sink exactly-once: the checkpointLocation dedups replayed
-batches and the IcebergLite dynamic-partition overwrite is idempotent.
+batches across clean restarts, and each micro-batch commit carries an
+idempotency tag in the IcebergLite manifest so a replay that raced a
+crash between commit and checkpoint is skipped, not re-appended.
 """
 
 from __future__ import annotations
@@ -120,20 +122,34 @@ def stream_static_enrich(pages: DataFrame, dim: DataFrame) -> DataFrame:
     return pages.join(F.broadcast(dim), "lang", "left")
 
 
-def extract_to_iceberg(pages: DataFrame, table_root: str,
-                       checkpoint_dir: str):
-    """SNK3: foreachBatch → batch extractor → SNK2 idempotent partition
-    overwrite per micro-batch; per-batch lineage appended alongside."""
+def batch_extract_handler(table_root: str):
+    """The foreachBatch body of SNK3, exposed for direct testing.
+
+    Exactly-once end-to-end: the checkpoint dedups batches on CLEAN
+    restart, and the IcebergLite commit tag makes the append itself
+    idempotent for the crash-between-commit-and-checkpoint replay — a
+    batch_id whose tag is already in the table manifest is skipped, so
+    re-running the same (batch_df, batch_id) never double-appends."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        tag = f"batch-{batch_id}"
+        if tag in il.committed_tags(table_root):
+            return  # replayed after a crash past the commit — already in
         ext = X.extract_text(batch_df)
         if ext.isEmpty():
             return
         il.append(ext.withColumn("batch_id", F.lit(batch_id)),
-                  table_root, ["lang"])
+                  table_root, ["lang"], tag=tag)
 
+    return handle
+
+
+def extract_to_iceberg(pages: DataFrame, table_root: str,
+                       checkpoint_dir: str):
+    """SNK3: foreachBatch → batch extractor → tagged idempotent IcebergLite
+    append per micro-batch (see batch_extract_handler)."""
     return (
-        pages.writeStream.foreachBatch(handle)
+        pages.writeStream.foreachBatch(batch_extract_handler(table_root))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )

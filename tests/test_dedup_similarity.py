@@ -99,3 +99,56 @@ def test_ann_bruteforce_orders_by_cosine(spark):
         rs.sort()
         assert [r for r, _ in rs] == [1, 2, 3, 4, 5]
         assert all(rs[i][1] >= rs[i + 1][1] for i in range(4))
+
+
+@pytest.fixture(scope="module")
+def hot_shingle_dir(tmp_path_factory):
+    """Zipfian-worst-case corpus: every doc shares the stop-word bigram
+    'of the', but only doc pairs (2k, 2k+1) are real near-duplicates."""
+    d = str(tmp_path_factory.mktemp("hotshingle"))
+    rows = []
+    for i in range(300):
+        base = i // 2
+        uniq = " ".join(f"w{base}x{j}" for j in range(8))
+        suffix = "" if i % 2 == 0 else " tail"
+        rows.append({"doc_id": i, "text": f"start of the {uniq}{suffix}",
+                     "lang": "en", "source": "t"})
+    pd.DataFrame(rows).to_parquet(os.path.join(d, "documents.parquet"))
+    return d
+
+
+def test_shingle_df_cap_bounds_candidates(spark, hot_shingle_dir):
+    """The document-frequency cap must keep the shared-shingle join linear
+    on hot-shingle text: without it 'of the' alone creates ~45k candidate
+    pair fragments here (and a quadratic job at corpus scale)."""
+    pairs = DD.ngram_jaccard_pairs(spark, hot_shingle_dir, n=2,
+                                   threshold=0.2, max_df=50)
+    got = {(r.d1, r.d2) for r in pairs.collect()}
+    expected = {(2 * k, 2 * k + 1) for k in range(150)}
+    assert got == expected  # real near-dups survive, hot-shingle fanout gone
+    # candidate volume stays O(n): count raw join-group fragments
+    import duckdb
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{hot_shingle_dir}/documents.parquet')")
+    oracle = con.execute(DD.sql_ngram_jaccard(n=2, threshold=0.2, max_df=50)
+                         ).fetch_df()
+    assert {(int(r.d1), int(r.d2)) for r in oracle.itertuples()} == expected
+
+
+def test_ngram_jaccard_oracle_parity_with_cap(spark, hot_shingle_dir):
+    """Spark plan and DuckDB oracle agree value-for-value under the cap
+    (jaccard defined over capped shingle sets on both engines)."""
+    import duckdb
+    spark_rows = sorted(
+        tuple(r) for r in DD.ngram_jaccard_pairs(
+            spark, hot_shingle_dir, n=2, threshold=0.2, max_df=50)
+        .select("d1", "d2", "n_common", "jaccard").collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{hot_shingle_dir}/documents.parquet')")
+    oracle_rows = sorted(
+        (int(a), int(b), int(c), float(j)) for a, b, c, j in con.execute(
+            DD.sql_ngram_jaccard(n=2, threshold=0.2, max_df=50)).fetchall())
+    assert [(int(a), int(b), int(c), float(j)) for a, b, c, j in spark_rows] \
+        == oracle_rows

@@ -129,3 +129,66 @@ def test_random_op_sequences_match_model(spark, tmp_path):
         for r in il.read(spark, root, snapshot=sid).collect():
             got.setdefault(r.k, []).append(r.v)
         assert {k: sorted(v) for k, v in got.items()} == live
+
+
+def test_read_empty_returns_schema_typed_frame(spark, tbl):
+    il.append(_df(spark, [("a", 1)]), tbl, ["k"])
+    # where pruning everything → empty frame with the committed schema
+    empty = il.read(spark, tbl, where={"k": "nope"})
+    assert empty.isEmpty() and empty.columns == ["k", "v"]
+    # dropping every partition → still schema-typed empty
+    il.drop_partitions(tbl, {"k": "a"})
+    assert il.read(spark, tbl).isEmpty()
+    # a table never written raises (nothing to infer a schema from)
+    with pytest.raises(ValueError):
+        il.read(spark, str(tbl) + "-missing")
+
+
+def test_concurrent_writers_lose_no_snapshot(spark, tbl):
+    """Two interleaved writers (the streaming append + lineage append
+    scenario): the metadata-merge lock must prevent last-write-wins from
+    silently dropping the first writer's snapshot."""
+    import threading
+
+    il.append(_df(spark, [("a", 1)]), tbl, ["k"])
+    errs = []
+
+    def write(val):
+        try:
+            il.append(_df(spark, [("w", val)]), tbl, ["k"])
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=write, args=(i,)) for i in range(4)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs
+    # every writer's row is present at the current snapshot
+    got = {r.v for r in il.read(spark, tbl).collect()}
+    assert got == {1, 0, 2, 3} | {1}
+    ids = [s["id"] for s in il.snapshots(tbl)]
+    assert ids == sorted(set(ids))  # five distinct committed snapshots
+    assert len(ids) == 5
+
+
+def test_foreachbatch_replay_is_idempotent(spark, tbl):
+    """Crash-between-commit-and-checkpoint: foreachBatch replays the same
+    batch_id on restart; the manifest tag must make the second append a
+    no-op (ADVICE round 1)."""
+    from joint_entity_and_relation_extraction_spark.functions import webgen
+    from joint_entity_and_relation_extraction_spark.operators.webpages import (
+        WEB_PAGES_SCHEMA)
+    from joint_entity_and_relation_extraction_spark.streaming.ingest import (
+        batch_extract_handler)
+
+    rows = [webgen.web_page_row(i, f"Alice works for Acme {i}.", "en", "crawl")
+            for i in range(4)]
+    batch = spark.createDataFrame(rows, WEB_PAGES_SCHEMA)
+    handle = batch_extract_handler(tbl)
+    handle(batch, 7)
+    n1 = il.read(spark, tbl).count()
+    handle(batch, 7)  # replay of the SAME micro-batch after a crash
+    assert il.read(spark, tbl).count() == n1
+    assert len(il.snapshots(tbl)) == 1
+    handle(batch, 8)  # a genuinely new batch still appends
+    assert il.read(spark, tbl).count() == 2 * n1
