@@ -1,45 +1,53 @@
 #!/usr/bin/env python
 """Bench harness (driver contract): runs the headline KG pipeline and the
-relational/analytics corpus at $SPARK_GRAFT_SF_DIR (default sf0.1) on
-local[$SPARK_GRAFT_CPUS], measures documents/sec at two parallelism levels
-(local[8] vs local[N] — the sandbox proxy for N vs 4N executors,
-BASELINE.md), writes BENCH/BASELINE.md, and prints ONE JSON line.
+relational/analytics corpus at $SPARK_GRAFT_SF_DIR (default sf0.1), writes
+BENCH/BASELINE.md, and prints ONE JSON line.
 
-The scaling workload replicates the corpus deterministically ×K
-(BASELINE.md allows this) so compute dominates fixed overheads the way it
-does on a real cluster; session build + python-worker warmup are excluded
-from the timed window (cluster-size scaling is about steady-state
-throughput, not JVM spin-up).
+Two-cluster-size evidence (BASELINE.json north rule): the same job runs at
+two parallelism levels and efficiency = (docs/sec ratio) / (core ratio).
+Design choices, all load-bearing on this shared host (BENCH/BASELINE.md):
+
+- Every scale point runs in its OWN subprocess → fresh JVM + python
+  workers, no cross-point cache pollution, and no stale
+  PythonAccumulatorV2 socket from a stopped SparkContext (the round-1
+  DAGScheduler updateAccumulators stack trace — VERDICT.md item 5).
+- Each (N, 4N) pair runs back-to-back inside one short window so both
+  points see the same neighbor load; host throughput drifts ±30% over
+  minutes (memory note `sandbox-host-performance`). A slow window lowers
+  both points' docs/sec but not their ratio. There is NO retry/best-of
+  selection across pairs (round-1's was gate-shopping adjacent): one
+  measurement per pair, reported as-is.
+- The PRIMARY pair is local[2] → local[8]: the host runs other tenants
+  (loadavg 10-20 observed), so 32-wide runs measure neighbor contention,
+  not the engine. The 8 → 32 pair is measured and reported as secondary
+  evidence, and local[32] is the absolute-throughput headline.
+- The corpus is deterministically replicated ×REPLICATE so compute
+  dominates fixed overheads the way it does on a real cluster; session
+  build + python-worker warmup are excluded from the timed window
+  (cluster-size scaling is about steady-state throughput, not JVM spin-up).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import joint_entity_and_relation_extraction_spark  # noqa: F401  (BLAS env)
-from pyspark.sql import functions as F
-from joint_entity_and_relation_extraction_spark.operators import canonicalize as C
-from joint_entity_and_relation_extraction_spark.operators import extract as X
-from joint_entity_and_relation_extraction_spark.operators import linking as L
-from joint_entity_and_relation_extraction_spark.operators.webpages import web_pages
-from joint_entity_and_relation_extraction_spark.session import build_session
-
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# scaling pair N -> 4N: local[2] vs local[8]. Measured on this host, the
-# per-core throughput of the (pure numpy, Spark-free) model kernel itself
-# degrades ~35% when >16 of the 32 cores are busy (shared-host memory
-# bandwidth), so the 8->32 pair understates the ENGINE's scaling; 2->8
-# runs in the flat region. local[CPUS] is still measured for headline
-# throughput. Override via env.
 LOW_CPUS = int(os.environ.get("JERS_BENCH_LOW_CPUS", "2"))
 HIGH_CPUS = int(os.environ.get("JERS_BENCH_HIGH_CPUS", "8"))
-REPLICATE = int(os.environ.get("JERS_BENCH_REPLICATE", "16"))
+# 32 (was 16 in round 1): round 2 cut per-doc compute ~4x (batched
+# fixed-shape inference + sentence-level dedup), so at x16 the pipeline's
+# ~15s of fixed Spark latency (stage barriers, broadcasts, tiny CC/alias
+# jobs) dominated and the scaling ratio measured the constant, not the
+# engine. x32 restores compute-dominated steady state; the replication is
+# disclosed in BENCH/BASELINE.md and n_docs scales with it.
+REPLICATE = int(os.environ.get("JERS_BENCH_REPLICATE", "32"))
 REPEATS = int(os.environ.get("JERS_BENCH_REPEATS", "2"))
 
 BENCH_QUERIES = [
@@ -50,11 +58,19 @@ BENCH_QUERIES = [
 ]
 
 
+# --------------------------------------------------------------------------
+# child-mode workloads (one subprocess per scale point)
+# --------------------------------------------------------------------------
+
 def _warmup(spark) -> None:
     """Warm EVERY python worker (package import + model weights): the
     warmup job must span >= the worker-pool width in partitions — a
     limit() slice collapses to one partition and leaves 30+ workers cold,
     which then poisons the first timed stage."""
+    from pyspark.sql import functions as F
+    from joint_entity_and_relation_extraction_spark.operators import extract as X
+    from joint_entity_and_relation_extraction_spark.operators.webpages import web_pages
+
     cores = spark.sparkContext.defaultParallelism
     wp = web_pages(spark, SF_DIR, num_partitions=2 * cores).filter(
         F.length("url") % 10 < 2)  # ~20% sample, still spans all partitions
@@ -67,13 +83,21 @@ def kg_pipeline_job(spark, replicate: int) -> tuple[int, float]:
     Returns (n_docs, seconds). n_docs comes from parquet metadata — a
     count() on web_pages would regenerate every HTML blob just to count
     rows."""
+    from pyspark.sql import functions as F
+    from joint_entity_and_relation_extraction_spark.operators import canonicalize as C
+    from joint_entity_and_relation_extraction_spark.operators import extract as X
+    from joint_entity_and_relation_extraction_spark.operators import linking as L
+    from joint_entity_and_relation_extraction_spark.operators.webpages import web_pages
     from joint_entity_and_relation_extraction_spark.sources.io import read_table
 
     n_docs = read_table(spark, SF_DIR, "documents").count() * replicate
     wp = web_pages(spark, SF_DIR, replicate=replicate)
     t0 = time.monotonic()
     ext = X.extract_text(wp)
-    inferred = X.infer(X.split_sentences(X.lang_filter(ext))).persist()
+    # persist the sentence table: the dedup-infer join consumes it on BOTH
+    # sides (stream + distinct), which would re-run webgen→extract→split
+    sents = X.split_sentences(X.lang_filter(ext)).persist()
+    inferred = X.infer(sents).persist()
     surfaces = (X.mentions(inferred)
                 .select(L.normalize_col(F.col("surface")).alias("alias_norm"))
                 .distinct())
@@ -83,20 +107,17 @@ def kg_pipeline_job(spark, replicate: int) -> tuple[int, float]:
         X.triples_raw(inferred), C.surface_canon_map(resolution, labels))
     n_triples = canon.groupBy("subj", "pred", "obj").count().count()
     dt = time.monotonic() - t0
+    sents.unpersist()
     inferred.unpersist()
     resolution.unpersist()
     assert n_triples > 0
     return n_docs, dt
 
 
-def run_scale_point(master: str, repeats: int | None = None) -> dict:
-    """Best-of-repeats steady-state time (post-warmup; session build and
-    python-worker spin-up excluded — cluster-size scaling is about
-    steady-state throughput). The long low-parallelism run is stable and
-    defaults to a single repeat; wider runs are noisier on this shared
-    host and take best-of-REPEATS."""
-    if repeats is None:
-        repeats = REPEATS
+def child_scale_point(master: str, repeats: int) -> None:
+    """Best-of-repeats steady-state time (post-warmup). Prints one JSON."""
+    from joint_entity_and_relation_extraction_spark.session import build_session
+
     spark = build_session(master=master, app_name=f"jers-bench-{master}")
     _warmup(spark)
     best = None
@@ -104,12 +125,14 @@ def run_scale_point(master: str, repeats: int | None = None) -> dict:
         n_docs, dt = kg_pipeline_job(spark, REPLICATE)
         best = dt if best is None else min(best, dt)
     spark.stop()
-    return {"master": master, "n_docs": n_docs, "sec": round(best, 2),
-            "docs_per_sec": round(n_docs / best, 2)}
+    print(json.dumps({"master": master, "n_docs": n_docs,
+                      "sec": round(best, 2),
+                      "docs_per_sec": round(n_docs / best, 2)}))
 
 
-def run_query_suite() -> tuple[dict, float]:
+def child_query_suite() -> None:
     from joint_entity_and_relation_extraction_spark.plans import registry
+    from joint_entity_and_relation_extraction_spark.session import build_session
 
     spark = build_session(master=f"local[{CPUS}]", app_name="jers-bench-queries")
     _warmup(spark)
@@ -119,32 +142,45 @@ def run_query_suite() -> tuple[dict, float]:
         t0 = time.monotonic()
         qs[name](spark, SF_DIR).count()
         times[name] = round(time.monotonic() - t0, 3)
+    registry.clear_caches()
     spark.stop()
-    return times, sum(times.values())
+    print(json.dumps(times))
+
+
+# --------------------------------------------------------------------------
+# parent orchestration
+# --------------------------------------------------------------------------
+
+def _run_child(*args: str) -> dict:
+    """Run one scale point in a fresh python+JVM; last stdout line is JSON."""
+    env = dict(os.environ)
+    env.setdefault("SPARK_GRAFT_SF_DIR", SF_DIR)
+    p = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), *args],
+        capture_output=True, text=True, env=env)
+    lines = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+    if p.returncode != 0 or not lines:
+        sys.stderr.write(p.stderr[-4000:])
+        raise RuntimeError(f"bench child {args} failed rc={p.returncode}")
+    return json.loads(lines[-1])
+
+
+def _eff(lo: dict, hi: dict, ratio: int) -> float:
+    return round((lo["sec"] / hi["sec"]) / ratio, 3)
 
 
 def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    def eff(lo_, hi_):
-        return round((lo_["sec"] / hi_["sec"]) / (HIGH_CPUS / LOW_CPUS), 3)
-
-    # Shared-host throughput drifts ±30% over minutes (calibrated with a
-    # Spark-free numpy probe — see BENCH note). Each (N, 4N) pair is run
-    # back-to-back inside one short window so both points see the same
-    # host conditions; efficiency is scored per pair and the best pair
-    # wins. A slow window then lowers both points' docs/sec but not their
-    # ratio.
-    pairs = []
-    for round_i in range(2):
-        lo_i = run_scale_point(f"local[{LOW_CPUS}]", repeats=1)
-        hi_i = run_scale_point(f"local[{HIGH_CPUS}]", repeats=1)
-        pairs.append((lo_i, hi_i))
-        if eff(lo_i, hi_i) >= 0.84:
-            break
-    lo, hi = max(pairs, key=lambda p: eff(*p))
-    efficiency = eff(lo, hi)
-    full = run_scale_point(f"local[{CPUS}]")
-    qtimes, qtotal = run_query_suite()
+    # primary pair, back-to-back in one window
+    lo = _run_child("--point", f"local[{LOW_CPUS}]", "--repeats", "1")
+    hi = _run_child("--point", f"local[{HIGH_CPUS}]", "--repeats", "1")
+    efficiency = _eff(lo, hi, HIGH_CPUS // LOW_CPUS)
+    # secondary pair + headline, back-to-back in their own window
+    hi2 = _run_child("--point", f"local[{HIGH_CPUS}]", "--repeats", "1")
+    full = _run_child("--point", f"local[{CPUS}]", "--repeats", str(REPEATS))
+    efficiency_8_32 = _eff(hi2, full, CPUS // HIGH_CPUS)
+    qtimes = _run_child("--queries")
+    qtotal = sum(qtimes.values())
 
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
@@ -152,24 +188,29 @@ def main() -> None:
 
 KG pipeline (extract → joint NER+RE inference → link → CC → canonical
 triples), corpus deterministically replicated x{REPLICATE}
-({lo['n_docs']} docs), best-of-{REPEATS} steady-state runs after warmup:
+({lo['n_docs']} docs). Each scale point runs in its own subprocess (fresh
+JVM + python workers); each (N, 4N) pair runs back-to-back in one window
+so shared-host drift cancels in the ratio; one measurement per pair, no
+retry/selection.
 
 | parallelism | wall sec | docs/sec |
 | --- | --- | --- |
 | local[{LOW_CPUS}] (N) | {lo['sec']} | {lo['docs_per_sec']} |
 | local[{HIGH_CPUS}] (4N) | {hi['sec']} | {hi['docs_per_sec']} |
-| local[{CPUS}] (headline) | {full['sec']} | {full['docs_per_sec']} |
+| local[{HIGH_CPUS}] (window 2) | {hi2['sec']} | {hi2['docs_per_sec']} |
+| local[{CPUS}] (headline, best of {REPEATS}) | {full['sec']} | {full['docs_per_sec']} |
 
-**Scaling efficiency (N → 4N)** = ({hi['docs_per_sec']} /
-{lo['docs_per_sec']}) / {HIGH_CPUS // LOW_CPUS} = **{efficiency}**
-(gate: >= 0.8, BASELINE.json).
+**Scaling efficiency (N → 4N, primary {LOW_CPUS}→{HIGH_CPUS})** =
+({hi['docs_per_sec']} / {lo['docs_per_sec']}) / {HIGH_CPUS // LOW_CPUS}
+= **{efficiency}** (gate: >= 0.8, BASELINE.json).
 
-The N → 4N pair is local[{LOW_CPUS}] → local[{HIGH_CPUS}] (the driver-
-sanctioned "N and 4N cores" form): measured on this host, per-core
-throughput of the pure-numpy model kernel alone (no Spark) degrades ~35%
-once >16 of the 32 cores are busy (shared-host memory bandwidth), so an
-8→32 pair measures the host, not the engine. local[{CPUS}] is reported
-for absolute throughput.
+Secondary {HIGH_CPUS}→{CPUS} (same-window pair): **{efficiency_8_32}**.
+The primary pair is {LOW_CPUS}→{HIGH_CPUS} because this host runs other
+tenants (loadavg 10–20 observed while benching): a Spark-free pure-numpy
+probe of the model kernel retains only ~0.7 of its per-core throughput
+with 32 concurrent workers, so 32-wide points measure neighbor
+contention, not the engine. local[{CPUS}] is reported for absolute
+throughput.
 
 Query suite at local[{CPUS}] (seconds):
 
@@ -193,8 +234,17 @@ Query suite at local[{CPUS}] (seconds):
         "replicate": REPLICATE,
         "n_docs": full["n_docs"],
         "scaling_efficiency": efficiency,
+        "scaling_efficiency_8_32": efficiency_8_32,
     }))
 
 
 if __name__ == "__main__":
-    main()
+    if "--point" in sys.argv:
+        i = sys.argv.index("--point")
+        repeats = int(sys.argv[sys.argv.index("--repeats") + 1]) \
+            if "--repeats" in sys.argv else REPEATS
+        child_scale_point(sys.argv[i + 1], repeats)
+    elif "--queries" in sys.argv:
+        child_query_suite()
+    else:
+        main()

@@ -779,6 +779,155 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+
+# --- round-2 additions: as-of agg form, streaming-as-batch, salted join,
+#     IcebergLite snapshot pin, python UDTF (VERDICT.md items 7/9/10) ------
+
+
+def q_join_asof_agg(spark, sf):
+    """As-of via AGGREGATION instead of a window sort: the (date, key)
+    pair is encoded into one sortable BIGINT and MAX-ed per event, so the
+    range join feeds a partial-aggregatable HashAggregate (map-side
+    combine shrinks the shuffle to one row per event) instead of a full
+    window sort over every matching order. Same results as join_asof
+    (driver-verified against the same logical oracle) — this is the form
+    the 100 TB plan wants; the window variant stays as the category demo."""
+    e = read_table(spark, sf, "events")
+    o = read_table(spark, sf, "orders")
+    code = (F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+            .cast("bigint") * F.lit(10_000_000_000).cast("bigint")
+            + F.col("o_orderkey").cast("bigint"))
+    j = e.join(o, (e.user_id == o.o_custkey) & (o.o_orderdate <= e.ts))
+    agg = (j.groupBy("event_id", "user_id")
+           .agg(F.max(code).alias("best")))
+    return agg.select(
+        "event_id", "user_id",
+        F.pmod(F.col("best"), F.lit(10_000_000_000).cast("bigint"))
+         .cast("bigint").alias("o_orderkey"),
+        F.date_add(F.lit("1970-01-01").cast("date"),
+                   (F.col("best") / F.lit(10_000_000_000).cast("bigint"))
+                   .cast("int")).alias("o_orderdate"))
+
+
+SQL_JOIN_ASOF_AGG = """
+WITH j AS (
+  SELECT e.event_id, e.user_id,
+         CAST(DATEDIFF('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE))
+              AS BIGINT) * 10000000000 + o.o_orderkey AS code
+  FROM events e JOIN orders o
+    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+), agg AS (
+  SELECT event_id, user_id, MAX(code) AS best FROM j
+  GROUP BY event_id, user_id
+)
+SELECT event_id, user_id,
+       CAST(best % 10000000000 AS BIGINT) AS o_orderkey,
+       DATE '1970-01-01' + CAST(best // 10000000000 AS INT) AS o_orderdate
+FROM agg
+"""
+
+
+def q_stream_tumbling_batch(spark, sf):
+    """The streaming tumbling-window aggregation (streaming/ingest.py
+    windowed_lang_counts) expressed over a BATCH table with the same
+    F.window operator — giving the driver a hash-checkable witness for the
+    window semantics the streaming path uses (VERDICT.md item 7; the
+    watermark/state-store behavior itself stays pytest-gated)."""
+    e = read_table(spark, sf, "events")
+    return (e.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 _dec_sum("value", "sum_value"))
+            .select(F.col("w.start").alias("w_start"),
+                    F.col("w.end").alias("w_end"),
+                    "event_type", "n_events", "sum_value"))
+
+
+SQL_STREAM_TUMBLING_BATCH = """
+SELECT TO_TIMESTAMP(FLOOR(EPOCH(ts) / 600) * 600) AS w_start,
+       TO_TIMESTAMP(FLOOR(EPOCH(ts) / 600) * 600 + 600) AS w_end,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def q_join_salted(spark, sf):
+    """Salted skew join (operators/skew.py salted_join): the fact side is
+    salted, the dim side replicated xS — the oracle is the PLAIN inner
+    join, proving the salting is semantics-preserving (BASELINE.json skew
+    handling; VERDICT.md item 7)."""
+    from ..operators.skew import salted_join
+
+    e = read_table(spark, sf, "events").select("event_id", "user_id")
+    c = read_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name", "c_nationkey")
+    out = salted_join(e, c, "user_id", buckets=8)
+    return out.select("event_id", "user_id", "c_name",
+                      F.col("c_nationkey").cast("bigint").alias("c_nationkey"))
+
+
+SQL_JOIN_SALTED = """
+SELECT e.event_id, e.user_id, c.c_name,
+       CAST(c.c_nationkey AS BIGINT) AS c_nationkey
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
+def q_iceberg_snapshot_scan(spark, sf):
+    """SRC2 as a driver-gradable query: build a two-snapshot IcebergLite
+    table from `nation` (deterministic content), then read PINNED at the
+    FIRST snapshot — time travel must see only the initial rows. The
+    oracle is the equivalent filter over the source table."""
+    import tempfile
+
+    from ..sources import iceberglite as il
+
+    n = read_table(spark, sf, "nation")
+    root = tempfile.mkdtemp(prefix="jers-iceberg-demo-")
+    s1 = il.append(n.filter(F.col("n_regionkey") < 2), root, ["n_regionkey"])
+    il.append(n.filter(F.col("n_regionkey") >= 2), root, ["n_regionkey"])
+    return (il.read(spark, root, snapshot=s1)
+            .select("n_nationkey", "n_name",
+                    F.col("n_regionkey").cast("int").alias("n_regionkey")))
+
+
+SQL_ICEBERG_SNAPSHOT_SCAN = """
+SELECT n_nationkey, n_name, CAST(n_regionkey AS INT) AS n_regionkey
+FROM nation WHERE n_regionkey < 2
+"""
+
+
+def q_udtf_word_pos(spark, sf):
+    """Python UDTF (SURVEY.md §2.5 row closed — Spark 4 F.udtf): a
+    table function emitting (pos, word) for a document's first 5 words,
+    applied per row via LATERAL join. UDTFs are row-at-a-time python —
+    correct for API coverage, NOT a hot-path pattern (the engine's hot
+    paths are Arrow-vectorized; see operators/extract.py)."""
+    from pyspark.sql.functions import udtf
+
+    class _WordPos:
+        def eval(self, doc_id, text):
+            words = text.split(" ") if text else []
+            for i, w in enumerate(words[:5]):
+                yield doc_id, i + 1, w
+
+    word_pos = udtf(_WordPos, returnType="doc_id bigint, pos bigint, word string")
+    spark.udtf.register("word_pos", word_pos)
+    read_table(spark, sf, "documents").createOrReplaceTempView("jers_docs")
+    return spark.sql(
+        "SELECT t.doc_id, t.pos, t.word "
+        "FROM jers_docs, LATERAL word_pos(doc_id, text) t")
+
+
+SQL_UDTF_WORD_POS = """
+SELECT doc_id, CAST(i AS BIGINT) AS pos, words[i] AS word
+FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS words FROM documents),
+     GENERATE_SERIES(1, LEAST(LEN(words), 5)) AS t(i)
+"""
+
+
 # --- registry ---------------------------------------------------------------
 
 RELATIONAL_QUERIES = {
@@ -823,6 +972,11 @@ RELATIONAL_QUERIES = {
     "conditional_funcs": q_conditional_funcs,
     "sort_nulls": q_sort_nulls,
     "agg_salted_skew": q_agg_salted_skew,
+    "join_asof_agg": q_join_asof_agg,
+    "stream_tumbling_batch": q_stream_tumbling_batch,
+    "join_salted": q_join_salted,
+    "iceberg_snapshot_scan": q_iceberg_snapshot_scan,
+    "udtf_word_pos": q_udtf_word_pos,
 }
 
 RELATIONAL_ORACLE = {

@@ -32,3 +32,39 @@ NO_ORACLE = sorted(set(Q.RELATIONAL_QUERIES) - set(Q.RELATIONAL_ORACLE))
 def test_rows_only_queries_run(spark, name):
     df = Q.RELATIONAL_QUERIES[name](spark, SF001)
     assert df.count() >= 0 and len(df.columns) > 0
+
+
+def test_approx_distinct_within_rsd_bound(spark, con):
+    """HLL++ can't hash-match an exact oracle, but it is not unchecked:
+    each group's estimate must sit within ±3·rsd of DuckDB's exact
+    COUNT(DISTINCT) (rsd=0.02 → ±6%) — a silent estimator regression now
+    fails loudly (VERDICT.md item 6)."""
+    got = {r.l_returnflag: r.approx_parts for r in
+           Q.RELATIONAL_QUERIES["agg_approx_distinct"](spark, SF001).collect()}
+    exact = dict(con.execute(
+        "SELECT l_returnflag, COUNT(DISTINCT l_partkey) FROM lineitem "
+        "GROUP BY l_returnflag").fetchall())
+    assert set(got) == set(exact)
+    for flag, est in got.items():
+        lo, hi = exact[flag] * (1 - 0.06), exact[flag] * (1 + 0.06)
+        assert lo <= est <= hi, (flag, est, exact[flag])
+
+
+def test_sample_frac_subset_and_count_band(spark, con):
+    """The seeded Bernoulli sampler's RNG differs across engines, but the
+    sample must be (a) a true subset of the table and (b) sized within a
+    generous binomial band around 0.1·n (±6σ) — a broken sampler (wrong
+    fraction, duplicated rows, fabricated keys) now fails loudly."""
+    from collections import Counter
+
+    rows = Q.RELATIONAL_QUERIES["sample_frac"](spark, SF001).collect()
+    got = Counter((r.l_orderkey, r.l_linenumber) for r in rows)
+    # multiset-subset: (l_orderkey, l_linenumber) is not unique in the
+    # synthetic lineitem, so compare per-key multiplicities
+    table = Counter(con.execute(
+        "SELECT l_orderkey, l_linenumber FROM lineitem").fetchall())
+    assert all(table[k] >= c for k, c in got.items())
+    n = sum(table.values())
+    import math
+    sigma = math.sqrt(n * 0.1 * 0.9)
+    assert abs(sum(got.values()) - 0.1 * n) <= 6 * sigma, (sum(got.values()), n)
