@@ -804,9 +804,11 @@ def q_join_asof_agg(spark, sf):
         "event_id", "user_id",
         F.pmod(F.col("best"), F.lit(10_000_000_000).cast("bigint"))
          .cast("bigint").alias("o_orderkey"),
-        F.date_add(F.lit("1970-01-01").cast("date"),
-                   (F.col("best") / F.lit(10_000_000_000).cast("bigint"))
-                   .cast("int")).alias("o_orderdate"))
+        F.date_format(
+            F.date_add(F.lit("1970-01-01").cast("date"),
+                       (F.col("best") / F.lit(10_000_000_000).cast("bigint"))
+                       .cast("int")),
+            "yyyy-MM-dd").alias("o_orderdate"))
 
 
 SQL_JOIN_ASOF_AGG = """
@@ -822,7 +824,8 @@ WITH j AS (
 )
 SELECT event_id, user_id,
        CAST(best % 10000000000 AS BIGINT) AS o_orderkey,
-       DATE '1970-01-01' + CAST(best // 10000000000 AS INT) AS o_orderdate
+       STRFTIME(DATE '1970-01-01' + CAST(best // 10000000000 AS INT),
+                '%Y-%m-%d') AS o_orderdate
 FROM agg
 """
 
@@ -837,14 +840,16 @@ def q_stream_tumbling_batch(spark, sf):
     return (e.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
             .agg(F.count("*").alias("n_events"),
                  _dec_sum("value", "sum_value"))
-            .select(F.col("w.start").alias("w_start"),
-                    F.col("w.end").alias("w_end"),
+            .select(F.col("w.start").cast("timestamp").cast("long")
+                    .alias("w_start_s"),
+                    F.col("w.end").cast("timestamp").cast("long")
+                    .alias("w_end_s"),
                     "event_type", "n_events", "sum_value"))
 
 
 SQL_STREAM_TUMBLING_BATCH = """
-SELECT TO_TIMESTAMP(FLOOR(EPOCH(ts) / 600) * 600) AS w_start,
-       TO_TIMESTAMP(FLOOR(EPOCH(ts) / 600) * 600 + 600) AS w_end,
+SELECT CAST(FLOOR(EPOCH(ts) / 600) * 600 AS BIGINT) AS w_start_s,
+       CAST(FLOOR(EPOCH(ts) / 600) * 600 + 600 AS BIGINT) AS w_end_s,
        event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
@@ -909,7 +914,9 @@ def q_udtf_word_pos(spark, sf):
 
     class _WordPos:
         def eval(self, doc_id, text):
-            words = text.split(" ") if text else []
+            # `is not None` (not truthiness): DuckDB STRING_SPLIT('')
+            # yields [''], so an empty string must emit one empty word
+            words = text.split(" ") if text is not None else []
             for i, w in enumerate(words[:5]):
                 yield doc_id, i + 1, w
 
@@ -922,9 +929,12 @@ def q_udtf_word_pos(spark, sf):
 
 
 SQL_UDTF_WORD_POS = """
-SELECT doc_id, CAST(i AS BIGINT) AS pos, words[i] AS word
-FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS words FROM documents),
-     GENERATE_SERIES(1, LEAST(LEN(words), 5)) AS t(i)
+-- aligned UNNESTs zip in DuckDB; GENERATE_SERIES here is the list
+-- function (lateral table-function form rejects column arguments)
+SELECT doc_id,
+       CAST(UNNEST(GENERATE_SERIES(1, LEN(w5))) AS BIGINT) AS pos,
+       UNNEST(w5) AS word
+FROM (SELECT doc_id, (STRING_SPLIT(text, ' '))[1:5] AS w5 FROM documents)
 """
 
 
@@ -1019,6 +1029,12 @@ RELATIONAL_ORACLE = {
     "conditional_funcs": SQL_CONDITIONAL_FUNCS,
     "sort_nulls": SQL_SORT_NULLS,
     "agg_salted_skew": SQL_AGG_SALTED_SKEW,
+    "join_asof_agg": SQL_JOIN_ASOF_AGG,
+    "stream_tumbling_batch": SQL_STREAM_TUMBLING_BATCH,
+    "join_salted": SQL_JOIN_SALTED,
+    "iceberg_snapshot_scan": SQL_ICEBERG_SNAPSHOT_SCAN,
+    "udtf_word_pos": SQL_UDTF_WORD_POS,
     # approx_distinct / sample_frac: deliberately no oracle (nondeterministic
-    # vs exact SQL) → driver rows-only check
+    # vs exact SQL) → driver rows-only check (bounded pytest checks in
+    # tests/test_relational_parity.py)
 }
