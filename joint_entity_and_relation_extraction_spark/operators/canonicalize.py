@@ -132,28 +132,48 @@ def surface_canon_map(resolution: DataFrame, labels: DataFrame) -> DataFrame:
 
 
 def canonical_triples_by_surface(triples_raw: DataFrame,
-                                 canon_map: DataFrame) -> DataFrame:
+                                 canon_map: DataFrame,
+                                 raw_surfaces: DataFrame | None = None) -> DataFrame:
     """C4 fast path: triples carry their subject/object SURFACE strings, so
-    canonical ids resolve via two broadcast joins against the
-    dictionary-sized (alias_norm → canon_id) map — the 10^12-row triple
-    stream is never shuffled. Identical output to the mention-join path
-    (canonical_triples below, parity-tested); fall back to that path if
-    the surface map ever outgrows broadcast range."""
+    canonical ids resolve via two broadcast joins against a
+    dictionary-sized (raw surface → norm, canon_id) map — the 10^12-row
+    triple stream is never shuffled AND never regexed: normalization (two
+    Java regexes per string) runs only on the DISTINCT raw surfaces, which
+    are bounded by the mention vocabulary, not the corpus. Punctuation-only
+    surfaces normalize to "" and are dropped from the map — they are not
+    entities, and sharing one surface node would weld every such mention
+    corpus-wide into a single bogus canonical id; the inner joins then
+    drop their triples, exactly as the normalize-per-row path did.
+    Identical output to the mention-join path (canonical_triples below,
+    parity-tested); fall back to that path if the surface map ever
+    outgrows broadcast range."""
     from .linking import normalize_col
 
-    t = (triples_raw
-         .withColumn("subj_norm", normalize_col(F.col("subj_surface")))
-         .withColumn("obj_norm", normalize_col(F.col("obj_surface")))
-         # punctuation-only mentions normalize to "" — they are not
-         # entities, and sharing one surface node would weld every such
-         # mention corpus-wide into a single bogus canonical id
-         .filter((F.col("subj_norm") != "") & (F.col("obj_norm") != "")))
-    subj_map = F.broadcast(canon_map.select(
-        F.col("alias_norm").alias("subj_norm"), F.col("canon_id").alias("subj")))
-    obj_map = F.broadcast(canon_map.select(
-        F.col("alias_norm").alias("obj_norm"), F.col("canon_id").alias("obj")))
+    if raw_surfaces is not None:
+        # caller-provided distinct raw surfaces (e.g. extract.
+        # mention_surfaces over the distinct-sentence table) — must be a
+        # SUPERSET of the triple endpoints' surfaces; extra entries are
+        # harmless map rows
+        raw = raw_surfaces.select(F.col("surface").alias("raw"))
+    else:
+        raw = (triples_raw.select(F.col("subj_surface").alias("raw"))
+               .union(triples_raw.select(F.col("obj_surface").alias("raw")))
+               .distinct())
+    raw = (raw.withColumn("norm", normalize_col(F.col("raw")))
+           .filter(F.col("norm") != ""))
+    # dictionary-sized, but its lineage scans the triple stream twice; the
+    # subj and obj broadcast builds would each re-run that — checkpoint
+    # once (same rationale as resolve_surfaces)
+    rmap = (raw.join(canon_map, raw.norm == canon_map.alias_norm)
+            .localCheckpoint(eager=False))
+    subj_map = F.broadcast(rmap.select(
+        F.col("raw").alias("subj_surface"), F.col("norm").alias("subj_norm"),
+        F.col("canon_id").alias("subj")))
+    obj_map = F.broadcast(rmap.select(
+        F.col("raw").alias("obj_surface"), F.col("norm").alias("obj_norm"),
+        F.col("canon_id").alias("obj")))
     return (
-        t.join(subj_map, "subj_norm").join(obj_map, "obj_norm")
+        triples_raw.join(subj_map, "subj_surface").join(obj_map, "obj_surface")
         .select("url", "sent_id", "subj", "subj_norm", "pred",
                 "obj", "obj_norm", "score")
     )

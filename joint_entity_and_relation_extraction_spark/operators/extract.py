@@ -157,8 +157,47 @@ def _infer_distinct_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Data
                             "relations": rels})
 
 
+def infer_distinct(sentences: DataFrame,
+                   num_partitions: int | None = None) -> DataFrame:
+    """THE expensive stage: model inference over the DISTINCT token
+    sequences of the sentence stream → (tokens, mentions, relations).
+
+    Lazily localCheckpointed: the result is dictionary-sized relative to
+    the stream (web text repeats boilerplate sentences heavily) but its
+    lineage holds the model stage — every consumer (the stream join-back
+    in infer(), surface extraction, multiple queries) reuses one
+    materialization instead of re-running inference.
+    """
+    n = num_partitions or 2 * sentences.sparkSession.sparkContext.defaultParallelism
+    # repartition on xxhash64(tokens), NOT tokens: repartition(n, tokens)
+    # has the same expression as the dropDuplicates aggregate's required
+    # distribution, so Catalyst collapses it into the aggregate's
+    # ENSURE_REQUIREMENTS exchange — which AQE then coalesces by BYTE size
+    # to one partition (the rows are ~100 bytes but ~0.7ms of model CPU
+    # each; measured: the whole model stage ran as a single 7s task). A
+    # distinct expression keeps this a REPARTITION_BY_NUM exchange, whose
+    # user-specified width AQE preserves.
+    distinct = (sentences.select("tokens").dropDuplicates(["tokens"])
+                .repartition(n, F.xxhash64("tokens")))
+    return distinct.mapInPandas(
+        _infer_distinct_batches,
+        schema=INFERRED_DISTINCT_SCHEMA).localCheckpoint(eager=False)
+
+
+def mention_surfaces(inferred_distinct: DataFrame) -> DataFrame:
+    """DISTINCT raw mention surfaces, computed from the distinct-sentence
+    inference table: identical to distinct(surface) over the full mention
+    stream (every stream sentence is a replica of a distinct one), but
+    touches |distinct sentences| x mentions rows instead of the corpus."""
+    m = inferred_distinct.select("tokens", F.explode("mentions").alias("m"))
+    return m.select(
+        _surface(F.col("tokens"), F.col("m.start"), F.col("m.end"))
+        .alias("surface")).distinct()
+
+
 def infer(sentences: DataFrame, num_partitions: int | None = None,
-          dedup: bool = True) -> DataFrame:
+          dedup: bool = True,
+          inferred_distinct: DataFrame | None = None) -> DataFrame:
     """sentences → inferred: one model pass per sentence emitting both the
     NER mentions and the biaffine relation pairs (X5+X6+X7 fused — one
     Arrow crossing, encoder runs once; SURVEY.md §2.5 iterator UDF).
@@ -183,11 +222,17 @@ def infer(sentences: DataFrame, num_partitions: int | None = None,
     if not dedup:
         return (sel.repartition(n, F.col("url"), F.col("sent_id"))
                 .mapInPandas(_infer_batches, schema=INFERRED_SCHEMA))
-    distinct = (sel.select("tokens").dropDuplicates(["tokens"])
-                .repartition(n, F.col("tokens")))
-    inferred = distinct.mapInPandas(
-        _infer_distinct_batches, schema=INFERRED_DISTINCT_SCHEMA)
-    return sel.join(inferred, "tokens").select(
+    if inferred_distinct is None:
+        inferred_distinct = infer_distinct(sentences, num_partitions)
+    # join on (xxhash64(tokens), tokens): the long key leads the shuffle /
+    # sort-merge ordering, so when the distinct side outgrows broadcast
+    # range the SMJ sorts by a cheap long instead of interpreted
+    # array<string> comparisons (measured: array-keyed SMJ crawls at high
+    # replication); the tokens equi-condition keeps the join EXACT —
+    # a hash collision can never produce a wrong match.
+    sel_k = sel.withColumn("__tkey", F.xxhash64("tokens"))
+    inf_k = inferred_distinct.withColumn("__tkey", F.xxhash64("tokens"))
+    return sel_k.join(inf_k, ["__tkey", "tokens"]).select(
         "url", "sent_id", "tokens", "mentions", "relations")
 
 

@@ -113,6 +113,15 @@ def resolve_surfaces(surfaces: DataFrame, aliases: DataFrame) -> DataFrame:
     prior, method, sim, node_id, surface_node). All candidate work
     (exact + LSH fuzzy) happens here, on the dictionary-sized surface
     table — see link_mentions for the scale rationale."""
+    # the surfaces table is dictionary-sized but its LINEAGE is the whole
+    # mention stream (explode + distinct over 10^9+ rows). This plan
+    # consumes it from several branches (exact pass, band pass, final
+    # assembly) and from inside broadcast builds, each of which would
+    # re-run that lineage (measured: 15x recomputation, 63s vs 1.4s at
+    # x64). A lazy localCheckpoint materializes it once and truncates the
+    # lineage for every consumer; blocks are dictionary-sized and cleaned
+    # by the ContextCleaner.
+    surfaces = surfaces.localCheckpoint(eager=False)
     alias_best = _best_alias(aliases, "alias_norm")
     feats = surfaces.withColumn("f", surface_feats_udf("alias_norm"))
     s_exact = feats.join(F.broadcast(alias_best), "alias_norm", "left")
@@ -128,9 +137,12 @@ def resolve_surfaces(surfaces: DataFrame, aliases: DataFrame) -> DataFrame:
         F.posexplode("af.bands").alias("band", "key"))
     inter = F.size(F.array_intersect("m_sh", "a_sh")).cast("double")
     union = (F.size("m_sh") + F.size("a_sh")).cast("double") - inter
+    # NOTE: no dropDuplicates on (alias, a_norm, entity) — a pair colliding
+    # in several bands yields identical candidate rows, and the max_by in
+    # _best_alias is duplicate-insensitive, so the dedup shuffle would buy
+    # nothing (verified: same resolution output)
     cand = (
         u_band.join(F.broadcast(a_band), ["band", "key"])
-        .dropDuplicates(["alias_norm", "a_norm", "entity_id"])
         .withColumn("sim", F.round(inter / union, 6))
         .filter(F.col("sim") >= SIM_THRESHOLD)
         .select("alias_norm", "entity_id", "prior", "sim")
@@ -163,21 +175,29 @@ def link_mentions(mentions: DataFrame, aliases: DataFrame) -> DataFrame:
     """mentions → links(url, sent_id, m_id, alias_norm, node_id, entity_id
     nullable, method, sim, prior).
 
-    Scale shape: ALL per-candidate work happens on the DISTINCT surface
-    table (tiny vs the mention stream); the mention table itself is only
-    touched by one broadcast hash join at the end — no windows and no
-    shuffle over the 10^12-row side. Exact pass: broadcast join on
-    alias_norm (L2), dictionary pre-reduced to its best entry per alias.
-    Fuzzy pass: LSH banding equi-join (L3), exact char-3-gram Jaccard
-    verify JVM-side (L4), best-per-surface aggregation (L5). Unlinked
-    surfaces get deterministic 63-bit node ids (L6) — never
-    monotonically_increasing_id.
+    Scale shape: ALL per-candidate work — including L1 normalization (two
+    Java regexes per string) — happens on the DISTINCT raw-surface table
+    (tiny vs the mention stream); the mention table itself is only
+    touched by one broadcast hash join at the end — no windows, no
+    shuffle, and no per-row regex over the 10^12-row side. Exact pass:
+    broadcast join on alias_norm (L2), dictionary pre-reduced to its best
+    entry per alias. Fuzzy pass: LSH banding equi-join (L3), exact
+    char-3-gram Jaccard verify JVM-side (L4), best-per-surface
+    aggregation (L5). Unlinked surfaces get deterministic 63-bit node ids
+    (L6) — never monotonically_increasing_id.
     """
-    m = mentions.withColumn("alias_norm", normalize_col(F.col("surface")))
-    resolution = resolve_surfaces(m.select("alias_norm").distinct(), aliases)
-    # single broadcast join back onto the mention stream
-    return m.select("url", "sent_id", "m_id", "alias_norm").join(
-        F.broadcast(resolution), "alias_norm")
+    raw = (mentions.select("surface").distinct()
+           .withColumn("alias_norm", normalize_col(F.col("surface")))
+           .localCheckpoint(eager=False))  # reused by resolution + map-back
+    resolution = resolve_surfaces(
+        raw.select("alias_norm").distinct(), aliases)
+    raw_res = raw.join(resolution, "alias_norm")
+    # single broadcast join back onto the mention stream, keyed by the RAW
+    # surface so the stream needs no normalization pass
+    return (mentions.select("url", "sent_id", "m_id", "surface")
+            .join(F.broadcast(raw_res), "surface")
+            .select("url", "sent_id", "m_id", "alias_norm", "entity_id",
+                    "prior", "method", "sim", "node_id", "surface_node"))
 
 
 def resolution_edges(resolution: DataFrame) -> DataFrame:

@@ -59,16 +59,22 @@ def web_pages(spark: SparkSession, sf_dir: str, skew: bool = False,
     docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source"
     )
+    if num_partitions is None:
+        # the testdata parquet is 1-2 files; without an explicit rebalance
+        # every downstream Arrow stage would inherit that near-serial
+        # partitioning (measured: 32 cores ran at local[8] speed)
+        num_partitions = 2 * spark.sparkContext.defaultParallelism
+    # repartition BEFORE the replicate cross-join: the shuffle then moves
+    # only the base corpus (one small scan task), and the xK expansion is
+    # a narrow broadcast join that runs inside every partition in
+    # parallel. Expanding first serialized the whole xK corpus through
+    # the single scan task's shuffle write (measured ~30s at x64 — the
+    # Amdahl term that capped N->4N efficiency).
+    docs = docs.repartition(num_partitions, F.col("doc_id"))
     if replicate > 1:
         reps = spark.range(replicate).select(F.col("id").alias("rep"))
         docs = (docs.crossJoin(F.broadcast(reps))
                 .withColumn("doc_id",
                             F.col("doc_id") + F.col("rep") * 10_000_000)
                 .drop("rep"))
-    if num_partitions is None:
-        # the testdata parquet is 1-2 files; without an explicit rebalance
-        # every downstream Arrow stage would inherit that near-serial
-        # partitioning (measured: 32 cores ran at local[8] speed)
-        num_partitions = 2 * spark.sparkContext.defaultParallelism
-    docs = docs.repartition(num_partitions, F.col("doc_id"))
     return docs.mapInPandas(_gen(skew), schema=WEB_PAGES_SCHEMA)

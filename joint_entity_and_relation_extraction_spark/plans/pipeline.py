@@ -74,22 +74,27 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_root: str,
 
     # ---- stage 2: sentence split + joint inference ------------------------
     with StageTimer() as st:
-        sents = X.split_sentences(X.lang_filter(ext, lang))
-        inferred = X.infer(sents).persist()
-        mentions = X.mentions(inferred)
+        sents = X.split_sentences(X.lang_filter(ext, lang)).persist()
+        infd = X.infer_distinct(sents)
+        inferred = X.infer(sents, inferred_distinct=infd)
         triples_raw = X.triples_raw(inferred)
     stats["infer_ms"] = st.wall_ms
 
     # ---- stage 3: linking + canonicalization ------------------------------
     with StageTimer() as st:
         aliases = L.alias_dict(spark, sf_dir)
-        surfaces = (mentions
+        # all dictionary-sized work (normalization, candidate generation,
+        # CC) derives from the DISTINCT-sentence inference table; only the
+        # triple stream is touched per row (broadcast joins in C4)
+        raw_surfaces = X.mention_surfaces(infd)
+        surfaces = (raw_surfaces
                     .select(L.normalize_col(F.col("surface")).alias("alias_norm"))
                     .distinct())
         resolution = L.resolve_surfaces(surfaces, aliases).persist()
         labels = C.connected_components(L.resolution_edges(resolution))
         canon_map = C.surface_canon_map(resolution, labels)
-        canon = C.canonical_triples_by_surface(triples_raw, canon_map)
+        canon = C.canonical_triples_by_surface(triples_raw, canon_map,
+                                               raw_surfaces=raw_surfaces)
     stats["link_ms"] = st.wall_ms
 
     # ---- stage 4: graph materialize (G1 dedup-agg + G2 write) -------------
@@ -118,6 +123,6 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_root: str,
     il.append(
         lineage_rows(out, run_id, "materialize", F.col("pred"), st.wall_ms),
         t_lineage, ["stage"])
-    inferred.unpersist()
+    sents.unpersist()
     resolution.unpersist()
     return {"triples": out, "recomputed_langs": recomputed, "stats": stats}

@@ -102,7 +102,7 @@ def q_kg_canonical_triples(spark, sf):
     from ..operators import linking as LK
 
     inferred = _inferred(spark, sf)
-    surfaces = (X.mentions(inferred)
+    surfaces = (X.mentions(inferred).select("surface").distinct()
                 .select(LK.normalize_col(F.col("surface")).alias("alias_norm"))
                 .distinct())
     resolution = LK.resolve_surfaces(surfaces, LK.alias_dict(spark, sf))

@@ -34,6 +34,15 @@ def build_session(
         # tables are small in bytes but CPU-heavy per row (windows, LSH
         # joins) — size-based coalescing serialized them (measured)
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # minPartitionSize floor 1MB -> 16k: parallelismFirst targets
+        # defaultParallelism partitions, but the 1MB floor overrides it
+        # for our byte-tiny / CPU-heavy dictionary stages (surface
+        # resolution, LSH verify) and coalesced them to ONE task (event-log
+        # measured: 1.8s single-task stages inside resolve); worse, a
+        # localCheckpoint downstream freezes that serial layout. 16k keeps
+        # those stages at ~defaultParallelism while leaving byte-heavy
+        # shuffles governed by the advisory size as before.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
         # shuffle width: ~2x cores locally; AQE coalesces down
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 2 * cores))
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
