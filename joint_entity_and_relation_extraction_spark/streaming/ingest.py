@@ -153,3 +153,108 @@ def extract_to_iceberg(pages: DataFrame, table_root: str,
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def stateful_domain_sessions(pages: DataFrame, gap: str = "10 minutes",
+                             watermark: str = "20 minutes") -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` (task brief:
+    "applyInPandasWithState for custom stateful operators"): a per-domain
+    crawl-session accumulator that session_window cannot express — gap
+    sessionization with live snapshots: sessions closed by a later
+    event's gap are emitted (closed=true) in the batch that observes the
+    gap; the open tail session is held in state, emitted as a RUNNING
+    snapshot row per micro-batch (closed=false), and finalized via
+    event-time timeout when the watermark passes its end + gap.
+
+    State per domain: (n_pages, langs, session_start_us, session_end_us);
+    arbitrary python accumulation over each micro-batch's pandas frame —
+    the pattern generalizes to any custom per-key streaming aggregate
+    (dedup caches, rate trackers, incremental sketches).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (ArrayType, BooleanType, LongType,
+                                   StringType, StructField, StructType,
+                                   TimestampType)
+
+    gap_ms = int(pd.Timedelta(gap).total_seconds() * 1000)
+    out_t = StructType([
+        StructField("domain", StringType()),
+        StructField("n_pages", LongType()),
+        StructField("n_langs", LongType()),
+        StructField("s_start", TimestampType()),
+        StructField("s_end", TimestampType()),
+        StructField("closed", BooleanType()),
+    ])
+    state_t = StructType([
+        StructField("n", LongType()),
+        StructField("langs", ArrayType(StringType())),
+        StructField("s0_us", LongType()),
+        StructField("s1_us", LongType()),
+    ])
+
+    gap_us = gap_ms * 1000
+
+    def _row(key, n, langs, s0_us, s1_us, closed):
+        return pd.DataFrame({
+            "domain": [key], "n_pages": [n],
+            "n_langs": [len(set(langs))],
+            "s_start": [pd.Timestamp(s0_us, unit="us")],
+            "s_end": [pd.Timestamp(s1_us, unit="us")],
+            "closed": [closed],
+        })
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:
+            # the open tail session idled past gap (event-time watermark)
+            n, langs, s0, s1 = state.get
+            state.remove()
+            yield _row(key[0], n, list(langs), s0, s1, True)
+            return
+        # gather this batch's (ts, lang) pairs; seed with the open session
+        pairs = []
+        for pdf in pdfs:
+            if len(pdf):
+                ts_us = pdf["warc_ts"].astype("int64") // 1000  # ns -> us
+                pairs.extend(zip(ts_us.tolist(), pdf["lang"].tolist()))
+        pairs.sort()
+        if state.exists:
+            n, langs, s0, s1 = state.get
+            langs = list(langs)
+        else:
+            first_ts, first_lang = pairs[0]
+            n, langs, s0, s1 = 1, [first_lang], first_ts, first_ts
+            pairs = pairs[1:]
+        # split WITHIN the batch on the event-time gap (micro-batches
+        # deliver several events per key at once; a pure timeout design
+        # would merge them all). Rows are processed in event-time order;
+        # sessions closed by a later row's gap are emitted immediately,
+        # only the open tail session stays in state.
+        for ts, lang in pairs:
+            if ts - s1 > gap_us:
+                yield _row(key[0], n, langs, s0, s1, True)
+                n, langs, s0, s1 = 1, [lang], ts, ts
+            else:
+                n += 1
+                langs.append(lang)
+                s1 = max(s1, ts)
+        state.update((n, sorted(set(langs)), s0, s1))
+        # close the tail once the watermark passes end + gap (clamped
+        # above the current watermark — setTimeoutTimestamp rejects past)
+        timeout_ms = max(s1 // 1000 + gap_ms,
+                         state.getCurrentWatermarkMs() + 1)
+        state.setTimeoutTimestamp(timeout_ms)
+        yield _row(key[0], n, langs, s0, s1, False)
+
+    # applyInPandasWithState needs a real grouping COLUMN, not an aliased
+    # expression (unresolved-column error otherwise)
+    domain = F.regexp_extract("url", r"https://([^/]+)/", 1)
+    return (
+        pages.withColumn("domain", domain)
+        .withWatermark("warc_ts", watermark)
+        .groupBy("domain")
+        .applyInPandasWithState(
+            fn, outputStructType=out_t, stateStructType=state_t,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout)
+    )

@@ -101,3 +101,74 @@ def test_broadcast_in_linking_plan(spark):
     m = X.mentions(X.infer(X.split_sentences(ext)))
     p = plan_str(L.link_mentions(m, L.alias_dict(spark, SF001)))
     assert "BroadcastHashJoin" in p  # resolution joins back via broadcast
+
+
+def test_model_stage_is_not_serialized_by_aqe(spark):
+    """Regression gates for the round-2 scaling bugs:
+
+    (a) the distinct-inference repartition must survive as a
+        REPARTITION_BY_NUM exchange — repartitioning on the dropDuplicates
+        key collapsed into the aggregate's ENSURE_REQUIREMENTS exchange,
+        which AQE then coalesced by bytes to ONE task for the CPU-heavy
+        model stage;
+    (b) after execution, the model stage must actually have run with >1
+        partition.
+    """
+    from joint_entity_and_relation_extraction_spark.operators import extract as X
+    from joint_entity_and_relation_extraction_spark.operators.webpages import web_pages
+
+    from joint_entity_and_relation_extraction_spark.operators.extract import (
+        INFERRED_DISTINCT_SCHEMA, _infer_distinct_batches)
+
+    wp = web_pages(spark, SF001)
+    sents = X.split_sentences(X.lang_filter(X.extract_text(wp)))
+    # (a) on the pre-checkpoint plan (infer_distinct returns the
+    # checkpointed frame whose plan is an opaque ExistingRDD scan)
+    pre = (sents.select("tokens").dropDuplicates(["tokens"])
+           .repartition(8, F.xxhash64("tokens"))
+           .mapInPandas(_infer_distinct_batches, schema=INFERRED_DISTINCT_SCHEMA))
+    assert "REPARTITION_BY_NUM" in plan_str(pre), plan_str(pre)[:2000]
+    # (b) behavioral: the materialized model stage is actually parallel
+    infd = X.infer_distinct(sents, num_partitions=8)
+    assert infd.count() > 0
+    assert infd.rdd.getNumPartitions() > 1
+
+
+def test_replication_expands_after_scan_repartition(spark):
+    """The xK bench replication must expand INSIDE partitions (narrow
+    broadcast join above the repartition exchange), not funnel the whole
+    replicated corpus through the single scan task's shuffle write."""
+    from joint_entity_and_relation_extraction_spark.operators.webpages import web_pages
+
+    wp = web_pages(spark, SF001, replicate=4)
+    p = plan_str(wp)
+    # the only Exchange must sit BELOW the replication join in the plan
+    # tree: BroadcastNestedLoopJoin appears before (above) the Exchange
+    # in toString order
+    i_join = p.index("BroadcastNestedLoopJoin")
+    i_exch = p.index("Exchange hashpartitioning(doc_id")
+    assert i_join < i_exch, p[:2000]
+    assert "REPARTITION_BY_NUM" in p
+
+
+def test_linking_localcheckpoint_truncates_lineage(spark):
+    """resolve_surfaces must consume a checkpointed surfaces table: the
+    resolution plan may not re-run the mention-stream lineage per branch
+    (round-2: 15x recompute). After materialization the plan string must
+    not contain the upstream python stages."""
+    from joint_entity_and_relation_extraction_spark.operators import extract as X
+    from joint_entity_and_relation_extraction_spark.operators import linking as L
+    from joint_entity_and_relation_extraction_spark.operators.webpages import web_pages
+
+    wp = web_pages(spark, SF001)
+    sents = X.split_sentences(X.lang_filter(X.extract_text(wp)))
+    infd = X.infer_distinct(sents, num_partitions=8)
+    surfaces = (X.mention_surfaces(infd)
+                .select(L.normalize_col(F.col("surface")).alias("alias_norm"))
+                .distinct())
+    res = L.resolve_surfaces(surfaces, L.alias_dict(spark, SF001))
+    res.count()
+    p = plan_str(res)
+    # the extractor/model python stages must NOT appear in the resolution
+    # plan — the checkpoint cut the lineage there
+    assert "html_to_text" not in p and "_infer_distinct_batches" not in p, p[:2000]

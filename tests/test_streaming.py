@@ -128,3 +128,63 @@ def test_foreachbatch_sink_exactly_once(spark, clean_chunks, tmp_path):
     q2.awaitTermination(120)
     assert len(il.snapshots(table)) == snaps_before
     assert il.read(spark, table).count() == info["n_rows"]
+
+
+def test_stateful_sessions_close_on_watermark(spark, clean_chunks):
+    """applyInPandasWithState custom operator: with a 10-minute gap over
+    the ~12.3-minute-spaced fixture, every page is its own session; a
+    session must emit closed=true iff the event-time watermark passed its
+    end + gap while batches were still arriving."""
+    import datetime
+
+    d, info = clean_chunks
+    stream = S.read_page_stream(spark, d)
+    got = _run_to_memory(
+        spark, S.stateful_domain_sessions(stream, gap="10 minutes",
+                                          watermark="20 minutes"),
+        "state_sessions", output_mode="update")
+    closed = {(r.domain, r.s_start) for r in
+              got.filter("closed").collect()}
+    batch = spark.read.parquet(d).withColumn(
+        "domain", F.regexp_extract("url", r"https://([^/]+)/", 1))
+    rows = [(r.domain, r.warc_ts) for r in
+            batch.select("domain", "warc_ts").collect()]
+    all_pages = set(rows)
+    last_per_domain = {}
+    for dom, ts in rows:
+        last_per_domain[dom] = max(last_per_domain.get(dom, ts), ts)
+    last_pages = {(d_, t_) for d_, t_ in last_per_domain.items()}
+    # gap-split guarantees every non-final page closes its own session
+    # (successor arrives > gap later); the final page per domain closes
+    # only if the event-time timeout fired before the stream drained
+    assert all_pages - last_pages <= closed <= all_pages
+    # every closed singleton session carries exact aggregates
+    for r in got.filter("closed").collect():
+        assert r.n_pages == 1 and r.n_langs == 1 and r.s_start == r.s_end
+
+
+def test_stateful_sessions_merge_state_across_batches(spark, clean_chunks):
+    """With the gap above the fixture's inter-arrival spacing, each
+    domain's session never closes; the per-batch snapshots must show the
+    state ACCUMULATING across micro-batches (one file per trigger) up to
+    the domain's full page count."""
+    d, info = clean_chunks
+    stream = S.read_page_stream(spark, d, max_files_per_trigger=1)
+    got = _run_to_memory(
+        spark, S.stateful_domain_sessions(stream, gap="30 minutes",
+                                          watermark="20 minutes"),
+        "state_sessions_merge", output_mode="update")
+    assert got.filter("closed").count() == 0
+    batch = spark.read.parquet(d).withColumn(
+        "domain", F.regexp_extract("url", r"https://([^/]+)/", 1))
+    want = {r.domain: r.n for r in
+            batch.groupBy("domain").agg(F.count("*").alias("n")).collect()}
+    final = {r.domain: r.n_pages for r in
+             got.groupBy("domain").agg(
+                 F.max("n_pages").alias("n_pages")).collect()}
+    assert final == want
+    # snapshots grew monotonically: more than one distinct snapshot size
+    # per domain proves cross-batch state merge (not one-shot aggregation)
+    sizes = got.groupBy("domain").agg(
+        F.countDistinct("n_pages").alias("k")).collect()
+    assert all(r.k > 1 for r in sizes)
