@@ -141,6 +141,7 @@ ANALYTICS_QUERIES = {
     "emb_label_centroids": SIM.label_centroids,
     "ann_topk_bruteforce": partial(SIM.ann_bruteforce, n_queries=8, k=5),
     "ann_topk_lsh": partial(SIM.ann_lsh, n_queries=8, k=5),
+    "ann_topk_ivf": partial(SIM.ann_ivf, n_queries=8, k=5),
     "text_token_stats": TS.token_stats,
     "text_quality": TS.quality_scores,
     "text_langid_scores": TS.langid_scores,

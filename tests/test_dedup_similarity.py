@@ -152,3 +152,36 @@ def test_ngram_jaccard_oracle_parity_with_cap(spark, hot_shingle_dir):
             DD.sql_ngram_jaccard(n=2, threshold=0.2, max_df=50)).fetchall())
     assert [(int(a), int(b), int(c), float(j)) for a, b, c, j in spark_rows] \
         == oracle_rows
+
+
+def test_ann_ivf_finds_true_near_neighbors(spark, clustered_dir):
+    """IVF (coarse k-means + inverted-list probe): a true near-duplicate
+    (cos≈0.95+) lands in the query's own centroid list, so probing
+    nprobe=4 of 16 lists must recover it; the re-rank must agree with the
+    exact scorer on shared pairs."""
+    approx = SIM.ann_ivf(spark, clustered_dir, n_queries=8, k=5).collect()
+    hits = {r.qid for r in approx if r.nid == r.qid + 100_000}
+    assert len(hits) >= 7, sorted(hits)
+    exact_cos = {(r.qid, r.nid): r.cos for r in SIM.ann_bruteforce(
+        spark, clustered_dir, n_queries=8, k=5).collect()}
+    for r in approx:
+        if (r.qid, r.nid) in exact_cos:
+            assert exact_cos[(r.qid, r.nid)] == r.cos
+
+
+def test_ivf_partitions_corpus_into_balanced_lists(spark):
+    """The coarse quantizer must produce a real partition of the corpus:
+    every vector assigned to exactly one of NLIST lists, no list owning
+    the entire corpus (k-means actually separated something)."""
+    import numpy as np
+
+    cent = SIM.ivf_centroids(spark, SF001)
+    assert cent.shape == (SIM.NLIST, 64)
+    from joint_entity_and_relation_extraction_spark.sources.io import read_table
+    e = read_table(spark, SF001, "embeddings")
+    assigned = e.withColumn("list_id", SIM._assign_udf(cent)(F.col("embedding")))
+    counts = {r.list_id: r.n for r in
+              assigned.groupBy("list_id").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == e.count()
+    assert max(counts.values()) < 0.8 * e.count()
+    assert len(counts) > 1
