@@ -85,3 +85,30 @@ def test_t2_partitioning_and_batchsize_invariance(spark):
             base = got
         else:
             assert got == base
+
+
+def test_infer_dedup_equals_full_inference(spark):
+    """The bench's scaling config (dedup=False) and the production config
+    (dedup=True) must produce IDENTICAL rows — the model is deterministic
+    per sentence, so inferring each distinct token sequence once and
+    joining back is an equivalence, not an approximation."""
+    import json
+
+    from joint_entity_and_relation_extraction_spark.operators.webpages import (
+        web_pages)
+
+    wp = web_pages(spark, SF0001, replicate=2)
+    sents = X.split_sentences(X.lang_filter(X.extract_text(wp)))
+
+    def key(df):
+        return {
+            (r.url, r.sent_id): (
+                json.dumps([m.asDict() for m in r.mentions]),
+                json.dumps([x.asDict() for x in r.relations]))
+            for r in df.collect()
+        }
+
+    a = key(X.infer(sents, dedup=True))
+    b = key(X.infer(sents, dedup=False))
+    assert len(a) == len(b) > 0
+    assert a == b
