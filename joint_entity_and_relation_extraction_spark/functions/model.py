@@ -331,8 +331,10 @@ REL_TAU = np.array([0.1301, 0.2988, 0.2024, 0.1490, 0.3162])
 
 #: fixed mention-count buckets for the batched biaffine stage
 REL_BUCKETS = (2, 4, 6, 8, 12, 16, 20)
-#: fixed chunk height for the biaffine stage — smaller than BATCH_ROWS so
-#: thin mention-buckets don't pay a 4x dummy-row padding tax
+#: fixed chunk height for the biaffine stage. Kept equal to BATCH_ROWS:
+#: the goldens (and the bitwise batching-invariance gate) are pinned to
+#: this exact gemm M — shrinking it would change per-row BLAS bits, not
+#: just padding cost (see module docstring / CLAUDE.md)
 REL_ROWS = 128
 
 
@@ -490,7 +492,12 @@ def extract_batch(token_lists: list[list[str]]) -> list[tuple[list, list]]:
     ids_all: list[list[int]] = []
     by_bucket: dict[int, list[int]] = {}
     for i, toks in enumerate(token_lists):
-        ids = token_ids(list(toks))
+        # truncate to the largest length bucket: split_sentences caps
+        # sentences at SENT_MAX_TOKENS == LEN_BUCKETS[-1], but a direct
+        # kernel caller with a longer token list must degrade to a
+        # truncated sentence, not crash the fixed-shape chunk fill with a
+        # numpy broadcast error (ADVICE r02)
+        ids = token_ids(list(toks))[: LEN_BUCKETS[-1]]
         ids_all.append(ids)
         if ids:
             by_bucket.setdefault(_bucket_len(len(ids)), []).append(i)

@@ -2,13 +2,17 @@
 GraphFrames-style iterative DataFrame joins, then canonical-id rewrite of
 triple endpoints.
 
-Algorithm: min-label propagation — labels(node) := min(label, min over
-neighbors' labels) until fixpoint, which takes O(component diameter)
-rounds. Entity-alias graphs are star-shaped (diameter ≤ ~4), so this
-converges in 2–3 rounds; for high-diameter graphs swap `_propagate` for
-large-star/small-star contraction (same join shapes, O(log n) rounds).
-Each round localCheckpoints to truncate lineage (SURVEY.md §4.3) and the
-convergence check is a single count action.
+Distributed algorithms (both implemented, same join shapes):
+- `_star_contract` (default): alternating large-star/small-star edge
+  contraction (Kiveris et al., "Connected Components in MapReduce and
+  Beyond", MR-CC) — O(log n) rounds on ANY graph shape, including the
+  chain-shaped near-dup graphs `dedup_clusters` can produce at corpus
+  scale.
+- `_propagate`: min-label propagation, O(component diameter) rounds —
+  optimal for the star-shaped entity-alias graphs (diameter ≤ ~4) and
+  kept selectable for them.
+Each round localCheckpoints to truncate lineage (SURVEY.md §4.3); both
+paths are property-tested equal to driver union-find.
 """
 
 from __future__ import annotations
@@ -27,22 +31,30 @@ DRIVER_CC_MAX_EDGES = 2_000_000
 
 
 def connected_components(edges: DataFrame, max_iter: int = 30,
-                         force_distributed: bool = False) -> DataFrame:
+                         force_distributed: bool = False,
+                         algorithm: str = "star") -> DataFrame:
     """edges(src:long, dst:long) undirected → labels(node:long,
     component:long) where component = min node id in the component.
     Nodes appearing in no edge are absent (callers coalesce to self).
 
     Hybrid strategy: small (dictionary-sized) graphs are union-found on
     the driver in one collect — O(E α(E)) and zero shuffle; larger graphs
-    run the iterative min-propagation below. Both paths produce identical
-    labels (property-tested). The dispatch decision is a distributed
-    count() — never a collect — so a too-big edge set costs one cheap
-    aggregate instead of funnelling 2M+ rows through one task into driver
-    memory (round-1 probe, VERDICT.md "What's wrong" #3); rows only move
-    to the driver once the count proves they fit."""
+    run distributed `algorithm`: "star" (large-star/small-star, O(log n)
+    rounds, safe for any diameter) or "propagate" (min-propagation,
+    O(diameter) rounds, fine for star-shaped alias graphs). All paths
+    produce identical labels (property-tested). The dispatch decision is
+    a distributed count() — never a collect — so a too-big edge set costs
+    one cheap aggregate instead of funnelling 2M+ rows through one task
+    into driver memory (round-1 probe); the eager-false localCheckpoint
+    makes the count and the following collect share one lineage
+    evaluation instead of recomputing the upstream resolution twice
+    (ADVICE r02)."""
     if not force_distributed:
+        edges = edges.localCheckpoint(eager=False)
         if edges.count() <= DRIVER_CC_MAX_EDGES:
             return _driver_union_find(edges.sparkSession, edges.collect())
+    if algorithm == "star":
+        return _star_contract(edges, max_iter)
     return _propagate(edges, max_iter)
 
 
@@ -61,6 +73,76 @@ def _driver_union_find(spark, edge_rows) -> DataFrame:
             parent[max(ru, rv)] = min(ru, rv)
     labels = [(n, find(n)) for n in parent]
     return spark.createDataFrame(labels, "node long, component long")
+
+
+def _star_contract(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+    """Alternating large-star/small-star contraction (Kiveris et al.,
+    MR-CC): each round rewires edges toward per-neighborhood minima, so
+    component trees halve in height every round — O(log n) rounds on any
+    shape, where min-propagation needs O(diameter). At fixpoint the edge
+    set is exactly {(node, component-min)} for every non-root node.
+
+    Per round: two groupBy-min + two joins over the (shrinking) edge set,
+    one count-and-hash aggregate as the fixpoint test, localCheckpoint to
+    truncate lineage. Edges stay oriented u > v throughout, so emissions
+    never create upward edges and dedup keys stay canonical."""
+    spark = edges.sparkSession
+    nparts = max(4, spark.sparkContext.defaultParallelism // 4)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct().repartition(nparts, "node").localCheckpoint()
+    )
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(F.greatest("src", "dst").alias("u"),
+                F.least("src", "dst").alias("v"))
+        .distinct().repartition(nparts, "u").localCheckpoint()
+    )
+    prev_fp = None
+    for _ in range(max_iter):
+        # large-star over the symmetric view: m = min(N(u) ∪ {u}); every
+        # neighbor v > u rewires to m (v > u ≥ m keeps the orientation)
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        lmin = (sym.groupBy("u").agg(F.min("v").alias("mv"))
+                .select("u", F.least("mv", F.col("u")).alias("m")))
+        large = (
+            sym.join(lmin, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star on the oriented edges: all smaller neighbors of u
+        # (plus u itself) rewire to m = min(N<(u))
+        smin = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(smin, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smin.select("u", F.col("m").alias("v")))
+            .distinct()
+            .repartition(nparts, "u")
+            .localCheckpoint()
+        )
+        # hash-sum through decimal(38,0): long sums overflow under ANSI
+        fp = tuple(small.agg(
+            F.count("*"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)"))).first())
+        e = small
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    else:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_iter} iterations")
+    child = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    return (
+        nodes.join(child, "node", "left")
+        .select("node",
+                F.coalesce(F.col("component"), F.col("node"))
+                .alias("component"))
+    )
 
 
 def _propagate(edges: DataFrame, max_iter: int = 30) -> DataFrame:

@@ -54,7 +54,7 @@ def _commit(root: str, manifest: dict) -> None:
 
 
 @contextlib.contextmanager
-def _meta_lock(root: str, timeout: float = 60.0):
+def _meta_lock(root: str, timeout: float = 60.0, stale_after: float = 60.0):
     """Exclusive metadata-merge lock (O_CREAT|O_EXCL lock file).
 
     Iceberg proper does optimistic CAS against a catalog; on a plain
@@ -70,10 +70,33 @@ def _meta_lock(root: str, timeout: float = 60.0):
     while True:
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, f"{os.getpid()} {time.time()}\n".encode())
             break
         except FileExistsError:
+            # stale-lock recovery (ADVICE r02): a writer killed between
+            # os.open and os.unlink would orphan the lock forever. The
+            # holder's pid+wall-time are in the file; break the lock once
+            # it outlives stale_after — a bound independent of THIS
+            # caller's acquisition timeout, so an impatient caller never
+            # steals from a healthy holder (live writers hold the lock
+            # only for a manifest read-merge-replace, i.e. millis).
+            try:
+                with open(lock) as f:
+                    _pid, t0 = f.read().split()
+                stale = time.time() - float(t0) > stale_after
+            except (OSError, ValueError):
+                stale = False  # mid-write or already gone — retry
+            if stale:
+                try:
+                    os.unlink(lock)
+                except FileNotFoundError:
+                    pass  # another waiter broke it first
+                continue
             if time.monotonic() > deadline:
-                raise TimeoutError(f"could not acquire {lock} in {timeout}s")
+                raise TimeoutError(
+                    f"could not acquire {lock} in {timeout}s (holder: "
+                    f"{open(lock).read().strip() if os.path.exists(lock) else 'gone'};"
+                    " delete the file manually if that process is dead)")
             time.sleep(0.05)
     try:
         yield

@@ -192,3 +192,35 @@ def test_foreachbatch_replay_is_idempotent(spark, tbl):
     assert len(il.snapshots(tbl)) == 1
     handle(batch, 8)  # a genuinely new batch still appends
     assert il.read(spark, tbl).count() == 2 * n1
+
+
+def test_stale_manifest_lock_is_broken(spark, tbl):
+    """A writer killed between creating manifest.lock and unlinking it must
+    not wedge the table forever: a lock older than the acquisition timeout
+    is broken and the append proceeds (ADVICE r02)."""
+    import time
+
+    os.makedirs(tbl, exist_ok=True)
+    with open(os.path.join(tbl, "manifest.lock"), "w") as f:
+        f.write(f"99999 {time.time() - 3600}\n")  # orphaned an hour ago
+    il.append(_df(spark, [("a", 1)]), tbl, [])
+    assert il.read(spark, tbl).count() == 1
+    assert not os.path.exists(os.path.join(tbl, "manifest.lock"))
+
+
+def test_fresh_lock_still_blocks_until_timeout(spark, tbl):
+    """A RECENT lock (live writer) must still block: acquisition times out
+    rather than stealing the lock from a healthy holder."""
+    import time
+
+    import pytest as _pytest
+
+    from joint_entity_and_relation_extraction_spark.sources.iceberglite import (
+        _meta_lock)
+
+    os.makedirs(tbl, exist_ok=True)
+    with open(os.path.join(tbl, "manifest.lock"), "w") as f:
+        f.write(f"{os.getpid()} {time.time()}\n")
+    with _pytest.raises(TimeoutError, match="manifest.lock"):
+        with _meta_lock(tbl, timeout=0.3):
+            pass

@@ -69,16 +69,39 @@ def test_link_parity_spark_vs_oracle(spark_links, oracle_full):
     assert "lsh" in methods or "none" in methods
 
 
-@pytest.mark.parametrize("force_distributed", [False, True])
-def test_cc_matches_union_find(spark, force_distributed):
+@pytest.mark.parametrize("force_distributed,algorithm",
+                         [(False, "star"), (True, "star"),
+                          (True, "propagate")])
+def test_cc_matches_union_find(spark, force_distributed, algorithm):
     rng = random.Random(7)
     edges = {(rng.randrange(200), rng.randrange(200)) for _ in range(150)}
     edges |= {(1000 + i, 1000 + i + 1) for i in range(25)}  # a 26-node chain
     df = spark.createDataFrame(sorted(edges), "src long, dst long")
     got = {(r.node, r.component) for r in C.connected_components(
-        df, force_distributed=force_distributed).collect()}
+        df, force_distributed=force_distributed,
+        algorithm=algorithm).collect()}
     want = oracle.connected_components(edges)
     assert got == set(want.items())
+
+
+def test_star_contraction_logn_rounds_on_long_chain(spark):
+    """Large-star/small-star must converge in O(log n) rounds on the
+    worst-case shape for min-propagation: a 1000-node chain (diameter
+    999). max_iter=12 would make propagation fail outright; star
+    contraction halves tree heights per round, so 12 rounds is ample —
+    and the labels still equal union-find exactly (VERDICT r02 item 8).
+    Ids are shuffled so the chain is not pre-sorted toward its root."""
+    rng = random.Random(11)
+    ids = list(range(5000, 6000))
+    rng.shuffle(ids)
+    edges = {(ids[i], ids[i + 1]) for i in range(len(ids) - 1)}
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    got = {(r.node, r.component) for r in C.connected_components(
+        df, max_iter=12, force_distributed=True,
+        algorithm="star").collect()}
+    want = oracle.connected_components(edges)
+    assert got == set(want.items())
+    assert len({c for _, c in got}) == 1  # one component, rooted at min id
 
 
 def test_surface_path_equals_mention_path(spark, spark_links):

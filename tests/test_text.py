@@ -137,3 +137,17 @@ def test_extract_batch_invariant_to_batching():
     assert [shuf[perm.index(k)] for k in range(len(sents))] == ref
     # batch-of-1 (the oracle unit) equals the batched path
     assert [M.extract_sentence(s) for s in sents[:10]] == ref[:10]
+
+
+def test_extract_batch_truncates_overlong_sentences():
+    """Direct kernel callers may pass sentences longer than the largest
+    length bucket (split_sentences caps at SENT_MAX_TOKENS, but that is a
+    cross-module coupling): extract_batch must truncate to LEN_BUCKETS[-1]
+    and equal the explicitly-truncated call, not crash the fixed-shape
+    chunk fill (ADVICE r02)."""
+    toks = ("alice works for acme corp in paris and lives in london "
+            * 12).split()  # 132 tokens > LEN_BUCKETS[-1] == 64
+    assert len(toks) > M.LEN_BUCKETS[-1]
+    got = M.extract_batch([toks])
+    want = M.extract_batch([toks[: M.LEN_BUCKETS[-1]]])
+    assert got == want
