@@ -29,13 +29,19 @@ Design choices, all load-bearing on this shared host (BENCH/BASELINE.md):
   replication collapses the deduped model stage to its distinct residue
   (~2% of rows vs 30-70% on real Common Crawl), which would make the pair
   measure fixed latency instead of the engine (see kg_pipeline_job). The
-  headline local[CPUS] row uses the production config (dedup on).
+  headline local[CPUS] rows use the production config (dedup on) at BOTH
+  the ~2% residue (plain replication) and a ~50% realistic residue
+  (mutated replicas); headline statistics are medians, all runs shown.
+- 8→32 attribution pairs (pure-JVM codegen job vs the python/model
+  stage, loadavg recorded) separate engine scaling from host contention
+  in the secondary 8→32 number.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -85,7 +91,8 @@ def _warmup(spark) -> None:
     X.infer(sents.filter(F.col("sent_id") < 1), num_partitions=2 * cores).count()
 
 
-def kg_pipeline_job(spark, replicate: int, dedup: bool = True) -> tuple[int, float]:
+def kg_pipeline_job(spark, replicate: int, dedup: bool = True,
+                    mutate: bool = False) -> tuple[int, float]:
     """Full chain: extract → infer → link → CC → canonical triples agg.
     Returns (n_docs, seconds). n_docs comes from parquet metadata — a
     count() on web_pages would regenerate every HTML blob just to count
@@ -98,7 +105,7 @@ def kg_pipeline_job(spark, replicate: int, dedup: bool = True) -> tuple[int, flo
     from joint_entity_and_relation_extraction_spark.sources.io import read_table
 
     n_docs = read_table(spark, SF_DIR, "documents").count() * replicate
-    wp = web_pages(spark, SF_DIR, replicate=replicate)
+    wp = web_pages(spark, SF_DIR, replicate=replicate, mutate=mutate)
     t0 = time.monotonic()
     ext = X.extract_text(wp)
     # persist the sentence table: the distinct-inference stage and the
@@ -142,20 +149,83 @@ def kg_pipeline_job(spark, replicate: int, dedup: bool = True) -> tuple[int, flo
     return n_docs, dt
 
 
-def child_scale_point(master: str, repeats: int, dedup: bool = True) -> None:
-    """Best-of-repeats steady-state time (post-warmup). Prints one JSON."""
+def child_scale_point(master: str, repeats: int, dedup: bool = True,
+                      mutate: bool = False) -> None:
+    """MEDIAN-of-repeats steady-state time (post-warmup), all runs
+    disclosed — min-of-N overstated throughput (VERDICT r02 'What's
+    wrong' #2). Prints one JSON."""
     from joint_entity_and_relation_extraction_spark.session import build_session
 
+    load0 = os.getloadavg()[0]
     spark = build_session(master=master, app_name=f"jers-bench-{master}")
     _warmup(spark)
-    best = None
+    residue = None
+    if mutate:
+        # disclose the actual distinct-sentence residue the mutation buys
+        from joint_entity_and_relation_extraction_spark.operators import extract as X
+        from joint_entity_and_relation_extraction_spark.operators.webpages import web_pages
+
+        sents = X.split_sentences(X.lang_filter(X.extract_text(
+            web_pages(spark, SF_DIR, replicate=REPLICATE, mutate=True))))
+        residue = round(sents.select("tokens").distinct().count()
+                        / max(sents.count(), 1), 3)
+    secs = []
     for _ in range(repeats):
-        n_docs, dt = kg_pipeline_job(spark, REPLICATE, dedup=dedup)
-        best = dt if best is None else min(best, dt)
+        n_docs, dt = kg_pipeline_job(spark, REPLICATE, dedup=dedup,
+                                     mutate=mutate)
+        secs.append(round(dt, 2))
     spark.stop()
+    med = statistics.median(secs)
     print(json.dumps({"master": master, "n_docs": n_docs,
-                      "sec": round(best, 2),
-                      "docs_per_sec": round(n_docs / best, 2)}))
+                      "sec": round(med, 2), "secs": secs,
+                      "residue": residue,
+                      "load1": [round(load0, 1),
+                                round(os.getloadavg()[0], 1)],
+                      "docs_per_sec": round(n_docs / med, 2)}))
+
+
+def child_attr(master: str, kind: str) -> None:
+    """8→32 attribution workloads (VERDICT r02 item 2): time the SAME job
+    at two widths to separate engine scaling from host contention.
+
+    kind="jvm": pure whole-stage-codegen work (range → hash → groupBy
+    sum), zero Python — if THIS doesn't scale, the collapse is engine/
+    host-level (shuffle config, cores not actually free), not the model.
+    kind="model": just the python-worker model stage (extract → split →
+    infer, dedup off) — if jvm scales and this doesn't, the collapse is
+    memory-bandwidth/BLAS contention in the Python workers."""
+    from joint_entity_and_relation_extraction_spark.session import build_session
+
+    load0 = os.getloadavg()[0]
+    spark = build_session(master=master, app_name=f"jers-attr-{kind}")
+    if kind == "jvm":
+        from pyspark.sql import functions as F
+
+        # warm the JVM paths with a small version of the same job
+        spark.range(1_000_000).groupBy(F.pmod(F.xxhash64("id"), F.lit(64))
+                                       ).count().count()
+        n = 6_250_000 * REPLICATE  # 400M rows at the default x64
+        t0 = time.monotonic()
+        (spark.range(n)
+         .select(F.pmod(F.xxhash64("id"), F.lit(1024)).alias("k"),
+                 (F.col("id") % 1_000_003).alias("v"))
+         .groupBy("k").agg(F.sum("v"), F.avg("v"), F.max("v"))
+         ).count()
+        dt = time.monotonic() - t0
+    else:
+        from joint_entity_and_relation_extraction_spark.operators import extract as X
+        from joint_entity_and_relation_extraction_spark.operators.webpages import web_pages
+
+        _warmup(spark)
+        t0 = time.monotonic()
+        wp = web_pages(spark, SF_DIR, replicate=REPLICATE)
+        X.infer(X.split_sentences(X.lang_filter(X.extract_text(wp))),
+                dedup=False).count()
+        dt = time.monotonic() - t0
+    spark.stop()
+    print(json.dumps({"master": master, "kind": kind, "sec": round(dt, 2),
+                      "load1": [round(load0, 1),
+                                round(os.getloadavg()[0], 1)]}))
 
 
 def child_query_suite() -> None:
@@ -212,8 +282,21 @@ def main() -> None:
     full32 = _run_child("--point", f"local[{CPUS}]", "--repeats", "1",
                         "--no-dedup")
     efficiency_8_32 = _eff(hi2, full32, CPUS // HIGH_CPUS)
+    # 8→32 attribution pairs (VERDICT r02 item 2), each back-to-back:
+    # pure-JVM codegen job vs the python/model stage, loadavg disclosed
+    jvm_hi = _run_child("--attr", "jvm", "--master", f"local[{HIGH_CPUS}]")
+    jvm_full = _run_child("--attr", "jvm", "--master", f"local[{CPUS}]")
+    mdl_hi = _run_child("--attr", "model", "--master", f"local[{HIGH_CPUS}]")
+    mdl_full = _run_child("--attr", "model", "--master", f"local[{CPUS}]")
+    eff_jvm_8_32 = _eff(jvm_hi, jvm_full, CPUS // HIGH_CPUS)
+    eff_model_8_32 = _eff(mdl_hi, mdl_full, CPUS // HIGH_CPUS)
     # headline throughput: the PRODUCTION configuration (inference dedup on)
     full = _run_child("--point", f"local[{CPUS}]", "--repeats", str(REPEATS))
+    # realistic-residue headline: odd replicas token-mutated so the
+    # distinct-sentence residue is ~50% (real-Common-Crawl ballpark)
+    # instead of the ~2% a plain xK replication leaves (VERDICT r02 #3)
+    real = _run_child("--point", f"local[{CPUS}]", "--repeats", "1",
+                      "--mutate")
     qtimes = _run_child("--queries")
     qtotal = sum(qtimes.values())
 
@@ -234,7 +317,8 @@ retry/selection.
 | local[{HIGH_CPUS}] (4N) | scaling (dedup off) | {hi['sec']} | {hi['docs_per_sec']} |
 | local[{HIGH_CPUS}] (window 2) | scaling (dedup off) | {hi2['sec']} | {hi2['docs_per_sec']} |
 | local[{CPUS}] | scaling (dedup off) | {full32['sec']} | {full32['docs_per_sec']} |
-| local[{CPUS}] (headline, best of {REPEATS}) | production (dedup on) | {full['sec']} | {full['docs_per_sec']} |
+| local[{CPUS}] (headline, median of {REPEATS}: {full['secs']}) | production (dedup on, ~2% residue) | {full['sec']} | {full['docs_per_sec']} |
+| local[{CPUS}] (realistic residue {real['residue']}) | production (dedup on, mutated replicas) | {real['sec']} | {real['docs_per_sec']} |
 
 **Scaling efficiency (N → 4N, primary {LOW_CPUS}→{HIGH_CPUS})** =
 ({hi['docs_per_sec']} / {lo['docs_per_sec']}) / {HIGH_CPUS // LOW_CPUS}
@@ -250,12 +334,32 @@ the north rule describes — while the HEADLINE row reports the production
 configuration (dedup on) at local[{CPUS}]. Both configurations produce
 identical triples (parity-tested).
 
+The headline rows use dedup ON in two corpora: the plain x{REPLICATE}
+replication (distinct residue ~2% — an upper bound on what dedup can
+buy) and the MUTATED replication (odd replicas get a per-copy token
+splice, measured residue {real['residue']}) — the realistic
+Common-Crawl-like number. Headline statistics are medians with every
+run disclosed, never min-of-N.
+
 Secondary {HIGH_CPUS}→{CPUS} (same-window pair, same config):
 **{efficiency_8_32}**. The primary pair is {LOW_CPUS}→{HIGH_CPUS} because
-this host runs other tenants (loadavg 10–20 observed while benching): a
-Spark-free pure-numpy probe of the model kernel retains only ~0.7 of its
-per-core throughput with 32 concurrent workers, so 32-wide points measure
-neighbor contention as much as the engine.
+this host runs other tenants (loadavg 10–20 observed while benching).
+
+## 8→{CPUS} attribution (same-window pairs, loadavg [start, end] shown)
+
+| workload | local[{HIGH_CPUS}] sec (load) | local[{CPUS}] sec (load) | {HIGH_CPUS}→{CPUS} efficiency |
+| --- | --- | --- | --- |
+| pure-JVM codegen (range→hash→groupBy agg, {6_250_000 * REPLICATE} rows) | {jvm_hi['sec']} ({jvm_hi['load1']}) | {jvm_full['sec']} ({jvm_full['load1']}) | {eff_jvm_8_32} |
+| python/model stage (extract→split→infer, dedup off) | {mdl_hi['sec']} ({mdl_hi['load1']}) | {mdl_full['sec']} ({mdl_full['load1']}) | {eff_model_8_32} |
+
+Reading: if the pure-JVM job scales {HIGH_CPUS}→{CPUS} but the model
+stage does not, the 32-wide collapse is memory-bandwidth/BLAS contention
+in the python workers (and host neighbors), not an engine plan/config
+problem; if NEITHER scales, fewer than {CPUS} host cores are actually
+free in the window (see loadavg columns) or shuffle/AQE targets need
+retuning. On a real cluster the N→4N step crosses machines with
+independent memory buses, so the bandwidth term does not accumulate the
+way it does inside this single box.
 
 Query suite at local[{CPUS}] (seconds):
 
@@ -273,7 +377,10 @@ Query suite at local[{CPUS}] (seconds):
         "docs_per_sec_n": lo["docs_per_sec"],
         "docs_per_sec_4n": hi["docs_per_sec"],
         "docs_per_sec_local32": full["docs_per_sec"],
+        "docs_per_sec_local32_runs": full["secs"],
         "docs_per_sec_local32_scaling_cfg": full32["docs_per_sec"],
+        "docs_per_sec_local32_residue_realistic": real["docs_per_sec"],
+        "residue_realistic": real["residue"],
         "low_cpus": LOW_CPUS,
         "high_cpus": HIGH_CPUS,
         "headline_cpus": CPUS,
@@ -281,6 +388,12 @@ Query suite at local[{CPUS}] (seconds):
         "n_docs": full["n_docs"],
         "scaling_efficiency": efficiency,
         "scaling_efficiency_8_32": efficiency_8_32,
+        "attr_jvm_eff_8_32": eff_jvm_8_32,
+        "attr_model_eff_8_32": eff_model_8_32,
+        "attr_loadavg": {
+            "jvm_hi": jvm_hi["load1"], "jvm_full": jvm_full["load1"],
+            "model_hi": mdl_hi["load1"], "model_full": mdl_full["load1"],
+            "headline": full["load1"], "realistic": real["load1"]},
     }))
 
 
@@ -290,7 +403,12 @@ if __name__ == "__main__":
         repeats = int(sys.argv[sys.argv.index("--repeats") + 1]) \
             if "--repeats" in sys.argv else REPEATS
         child_scale_point(sys.argv[i + 1], repeats,
-                          dedup="--no-dedup" not in sys.argv)
+                          dedup="--no-dedup" not in sys.argv,
+                          mutate="--mutate" in sys.argv)
+    elif "--attr" in sys.argv:
+        i = sys.argv.index("--attr")
+        m = sys.argv[sys.argv.index("--master") + 1]
+        child_attr(m, sys.argv[i + 1])
     elif "--queries" in sys.argv:
         child_query_suite()
     else:

@@ -44,7 +44,7 @@ def _gen(skew: bool):
 
 def web_pages(spark: SparkSession, sf_dir: str, skew: bool = False,
               num_partitions: int | None = None,
-              replicate: int = 1) -> DataFrame:
+              replicate: int = 1, mutate: bool = False) -> DataFrame:
     """documents → web_pages via an Arrow mapInPandas stage.
 
     Column-pruned scan (only the 4 needed columns reach the parquet
@@ -55,7 +55,15 @@ def web_pages(spark: SparkSession, sf_dir: str, skew: bool = False,
     ``replicate=k`` deterministically multiplies the corpus ×k with
     disjoint doc_id ranges (distinct urls) — bench volume only
     (BASELINE.md allows deterministic ×K replication).
-    """
+
+    ``mutate=True`` (bench only): odd-numbered replicas get a per-copy
+    token suffix spliced into roughly every 11th word, JVM-side. Plain xK
+    replication collapses sentence-level inference dedup to a ~2% distinct
+    residue; mutation pushes the residue to ~50% — the ballpark of real
+    Common-Crawl near-duplication — so dedup-ON throughput is measured on
+    a corpus where dedup does realistic (not miraculous) work
+    (VERDICT r02 'What's wrong' #3). Deterministic: the marker is
+    (rep, doc_id)-keyed, no RNG."""
     docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source"
     )
@@ -75,6 +83,18 @@ def web_pages(spark: SparkSession, sf_dir: str, skew: bool = False,
         reps = spark.range(replicate).select(F.col("id").alias("rep"))
         docs = (docs.crossJoin(F.broadcast(reps))
                 .withColumn("doc_id",
-                            F.col("doc_id") + F.col("rep") * 10_000_000)
-                .drop("rep"))
+                            F.col("doc_id") + F.col("rep") * 10_000_000))
+        if mutate:
+            marker = F.concat(F.lit("q"), F.col("doc_id").cast("string"))
+            mutated = F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda w, i: F.when(i % 11 == 5,
+                                        F.concat(w, marker)).otherwise(w)),
+                " ")
+            docs = docs.withColumn(
+                "text",
+                F.when(F.col("rep") % 2 == 1, mutated)
+                .otherwise(F.col("text")))
+        docs = docs.drop("rep")
     return docs.mapInPandas(_gen(skew), schema=WEB_PAGES_SCHEMA)

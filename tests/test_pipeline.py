@@ -78,3 +78,29 @@ def test_pipeline_with_skewed_corpus(spark, tmp_path):
     lin = il.read(spark, str(tmp_path / "skew") + "/lineage")
     parts = {r.part for r in lin.filter(F.col("stage") == "extract").collect()}
     assert parts == {"en", "fr", "es", "zh", "de"}
+
+
+def test_web_pages_mutate_residue(spark):
+    """Bench realism knob (web_pages mutate=True): odd replicas must carry
+    per-copy token splices (distinct text), even replicas must stay byte-
+    identical to the base copy — so a x4 replication yields ~50% distinct
+    docs instead of ~25%."""
+    from joint_entity_and_relation_extraction_spark.operators.webpages import (
+        web_pages)
+
+    from joint_entity_and_relation_extraction_spark.operators import (
+        extract as X)
+
+    def residue(mutate):
+        wp = web_pages(spark, SF0001, replicate=4, mutate=mutate)
+        sents = X.split_sentences(X.lang_filter(X.extract_text(wp)))
+        return (sents.select("tokens").distinct().count()
+                / sents.count())
+
+    plain, mutated = residue(False), residue(True)
+    # plain x4 replication dedups to ~1/4 of sentences (plus the per-
+    # replica title sentences); mutating reps 1 and 3 must push the
+    # distinct residue toward (1 original + 2 mutated copies) / 4 ≈ 0.7
+    # of sentences long enough to catch a splice
+    assert plain < 0.45, plain
+    assert mutated > plain + 0.2, (plain, mutated)
