@@ -62,6 +62,9 @@ HIGH_CPUS = int(os.environ.get("JERS_BENCH_HIGH_CPUS", "8"))
 # scales with it.
 REPLICATE = int(os.environ.get("JERS_BENCH_REPLICATE", "64"))
 REPEATS = int(os.environ.get("JERS_BENCH_REPEATS", "2"))
+# JVM attribution probe size: tens of seconds at local[8] so the 8→32
+# ratio measures throughput, not stage fixed costs (8B rows at x64)
+ATTR_JVM_ROWS = 125_000_000 * REPLICATE
 
 BENCH_QUERIES = [
     "agg_group_multi", "join_sortmerge", "join_broadcast",
@@ -204,12 +207,8 @@ def child_attr(master: str, kind: str) -> None:
         # warm the JVM paths with a small version of the same job
         spark.range(10_000_000).groupBy(F.pmod(F.xxhash64("id"), F.lit(64))
                                         ).count().count()
-        # sized to run tens of seconds at local[8] (comparable to the
-        # model-stage probe) — a ~2s job is fixed-cost-dominated and its
-        # 8→32 ratio is noise (measured r03 first cut)
-        n = 125_000_000 * REPLICATE  # 8B rows at the default x64
         t0 = time.monotonic()
-        (spark.range(n)
+        (spark.range(ATTR_JVM_ROWS)
          .select(F.pmod(F.xxhash64("id"), F.lit(1024)).alias("k"),
                  (F.col("id") % 1_000_003).alias("v"))
          .groupBy("k").agg(F.sum("v"), F.avg("v"), F.max("v"))
@@ -352,7 +351,7 @@ this host runs other tenants (loadavg 10–20 observed while benching).
 
 | workload | local[{HIGH_CPUS}] sec (load) | local[{CPUS}] sec (load) | {HIGH_CPUS}→{CPUS} efficiency |
 | --- | --- | --- | --- |
-| pure-JVM codegen (range→hash→groupBy agg, {6_250_000 * REPLICATE} rows) | {jvm_hi['sec']} ({jvm_hi['load1']}) | {jvm_full['sec']} ({jvm_full['load1']}) | {eff_jvm_8_32} |
+| pure-JVM codegen (range→hash→groupBy agg, {ATTR_JVM_ROWS} rows) | {jvm_hi['sec']} ({jvm_hi['load1']}) | {jvm_full['sec']} ({jvm_full['load1']}) | {eff_jvm_8_32} |
 | python/model stage (extract→split→infer, dedup off) | {mdl_hi['sec']} ({mdl_hi['load1']}) | {mdl_full['sec']} ({mdl_full['load1']}) | {eff_model_8_32} |
 
 Reading: if the pure-JVM job scales {HIGH_CPUS}→{CPUS} but the model

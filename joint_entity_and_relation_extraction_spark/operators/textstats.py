@@ -125,6 +125,23 @@ def langid_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         best["hits"].alias("best_hits"))
 
 
+def _sql_langid_predict() -> str:
+    """Argmax mirror of langid_predict: DuckDB structs compare
+    lexicographically by field order exactly like Spark's array_max over
+    (hits, lang) structs, so LIST_MAX over the same structs reproduces
+    the tie-break bit-for-bit (GREATEST rejects struct args)."""
+    structs = ", ".join(
+        f"{{'hits': hits_{lg}, 'lang': '{lg}'}}"
+        for lg in sorted(LANG_MARKERS))
+    return (f"WITH s AS ({SQL_LANGID_SCORES}) "
+            f"SELECT doc_id, lang_meta, "
+            f"(LIST_MAX([{structs}])).lang AS lang_pred, "
+            f"(LIST_MAX([{structs}])).hits AS best_hits FROM s")
+
+
+SQL_LANGID_PREDICT = _sql_langid_predict()
+
+
 def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: md5 over case/whitespace-normalized text plus
     a length bucket — the key for fuzzy-exact dedup at scale."""

@@ -976,6 +976,12 @@ def q_iceberg_snapshot_scan(spark, sf):
 
     key = (spark.sparkContext.applicationId, sf)
     if key not in _ICEBERG_DEMO_CACHE:
+        if not _ICEBERG_DEMO_CACHE:  # first table this process: clean at exit
+            import atexit
+
+            atexit.register(lambda: [
+                shutil.rmtree(root, ignore_errors=True)
+                for root, _ in _ICEBERG_DEMO_CACHE.values()])
         for old in [k for k in _ICEBERG_DEMO_CACHE if k[0] != key[0]]:
             shutil.rmtree(_ICEBERG_DEMO_CACHE.pop(old)[0], ignore_errors=True)
         n = read_table(spark, sf, "nation")
@@ -1027,6 +1033,32 @@ SELECT doc_id,
        CAST(UNNEST(GENERATE_SERIES(1, LEN(w5))) AS BIGINT) AS pos,
        UNNEST(w5) AS word
 FROM (SELECT doc_id, (STRING_SPLIT(text, ' '))[1:5] AS w5 FROM documents)
+"""
+
+
+def q_unpivot_measures(spark, sf):
+    """Wide→long melt (DataFrame.unpivot, Spark 4 API surface): lineitem
+    measure columns to (measure, value) rows. The inverse of pivot —
+    closes the reshape pair in the relational corpus."""
+    li = read_table(spark, sf, "lineitem").filter(F.col("l_orderkey") < 1000)
+    return (li.select("l_orderkey", "l_linenumber",
+                      F.col("l_quantity").cast("double").alias("quantity"),
+                      F.col("l_extendedprice").cast("double")
+                      .alias("extendedprice"),
+                      F.col("l_discount").cast("double").alias("discount"))
+            .unpivot(["l_orderkey", "l_linenumber"],
+                     ["quantity", "extendedprice", "discount"],
+                     "measure", "value"))
+
+
+SQL_UNPIVOT_MEASURES = """
+SELECT l_orderkey, l_linenumber, measure, value FROM (
+  SELECT l_orderkey, l_linenumber,
+         CAST(l_quantity AS DOUBLE) AS quantity,
+         CAST(l_extendedprice AS DOUBLE) AS extendedprice,
+         CAST(l_discount AS DOUBLE) AS discount
+  FROM lineitem WHERE l_orderkey < 1000
+) UNPIVOT (value FOR measure IN (quantity, extendedprice, discount))
 """
 
 
@@ -1083,6 +1115,7 @@ RELATIONAL_QUERIES = {
     "join_salted": q_join_salted,
     "iceberg_snapshot_scan": q_iceberg_snapshot_scan,
     "udtf_word_pos": q_udtf_word_pos,
+    "unpivot_measures": q_unpivot_measures,
 }
 
 RELATIONAL_ORACLE = {
@@ -1132,6 +1165,7 @@ RELATIONAL_ORACLE = {
     "join_salted": SQL_JOIN_SALTED,
     "iceberg_snapshot_scan": SQL_ICEBERG_SNAPSHOT_SCAN,
     "udtf_word_pos": SQL_UDTF_WORD_POS,
+    "unpivot_measures": SQL_UNPIVOT_MEASURES,
     # approx_distinct / sample_frac: deliberately no oracle (nondeterministic
     # vs exact SQL) → driver rows-only check (bounded pytest checks in
     # tests/test_relational_parity.py)

@@ -163,6 +163,7 @@ ANALYTICS_ORACLE = {
     "text_token_stats": TS.SQL_TOKEN_STATS,
     "text_quality": TS.SQL_QUALITY_SCORES,
     "text_langid_scores": TS.SQL_LANGID_SCORES,
+    "text_langid_predict": TS.SQL_LANGID_PREDICT,
     "text_fingerprint": TS.SQL_FINGERPRINT,
     "grouped_map_sessionize": PO.SQL_SESSIONIZE,
     "udaf_weighted_avg": PO.SQL_WEIGHTED_AVG,
