@@ -1062,6 +1062,63 @@ SELECT l_orderkey, l_linenumber, measure, value FROM (
 """
 
 
+def q_join_range_bucketed(spark, sf):
+    """Interval-overlap join WITHOUT an equi key, bucketized: each event's
+    trailing 7-day window explodes into the (at most two) week buckets it
+    covers, orders map to exactly one bucket, and the join becomes a plain
+    hash equi-join on the bucket id + an exact range post-filter. This is
+    the 100 TB shape for range joins — the naive form is a nested-loop
+    cross product (see q_join_theta, kept as the category demo), which no
+    cluster survives on two corpus-sized sides. A pair can only meet in
+    the order's own bucket, so no dedup is needed. The oracle is the
+    PLAIN range join, proving the bucketing is semantics-preserving."""
+    o = read_table(spark, sf, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("od"))
+    li = read_table(spark, sf, "lineitem").select(
+        F.col("l_shipdate").cast("date").alias("sd"), "l_quantity")
+    bucket_days = 7
+    days_o = F.datediff(F.col("od"), F.lit("1970-01-01").cast("date"))
+    # each order's [od, od+7] window covers at most two week buckets
+    ob = o.select(
+        "o_orderkey", "od",
+        F.explode(F.sequence(
+            F.floor(days_o / bucket_days),
+            F.floor((days_o + F.lit(bucket_days)) / bucket_days)))
+        .alias("bucket"))
+    days_l = F.datediff(F.col("sd"), F.lit("1970-01-01").cast("date"))
+    lb = li.withColumn("bucket", F.floor(days_l / bucket_days))
+    j = ob.join(lb, "bucket").filter(
+        (F.col("sd") >= F.col("od"))
+        & (F.col("sd") <= F.date_add(F.col("od"), bucket_days)))
+    return (j.groupBy("o_orderkey")
+            .agg(F.count("*").alias("n_shipments"),
+                 _dec_sum("l_quantity", "sum_qty")))
+
+
+SQL_JOIN_RANGE_BUCKETED = """
+SELECT o.o_orderkey,
+       CAST(COUNT(*) AS BIGINT) AS n_shipments,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM orders o JOIN lineitem l
+  ON CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE)
+ AND CAST(l.l_shipdate AS DATE) <= CAST(o.o_orderdate AS DATE)
+                                  + INTERVAL 7 DAY
+GROUP BY o.o_orderkey
+"""
+
+
+def q_sample_stratified(spark, sf):
+    """Per-stratum Bernoulli sampling (DataFrame.sampleBy): the
+    training-data curation primitive — downsample overrepresented strata
+    (languages/sources) at per-stratum rates. Engine-specific RNG → the
+    driver's rows-only check; subset + per-stratum ±6σ count bands are
+    pytest-gated (tests/test_relational_parity.py)."""
+    li = read_table(spark, sf, "lineitem")
+    return li.sampleBy("l_returnflag", {"A": 0.05, "N": 0.2, "R": 0.1},
+                       seed=7).select(
+        "l_orderkey", "l_linenumber", "l_returnflag")
+
+
 # --- registry ---------------------------------------------------------------
 
 RELATIONAL_QUERIES = {
@@ -1116,6 +1173,8 @@ RELATIONAL_QUERIES = {
     "iceberg_snapshot_scan": q_iceberg_snapshot_scan,
     "udtf_word_pos": q_udtf_word_pos,
     "unpivot_measures": q_unpivot_measures,
+    "join_range_bucketed": q_join_range_bucketed,
+    "sample_stratified": q_sample_stratified,
 }
 
 RELATIONAL_ORACLE = {
@@ -1166,6 +1225,8 @@ RELATIONAL_ORACLE = {
     "iceberg_snapshot_scan": SQL_ICEBERG_SNAPSHOT_SCAN,
     "udtf_word_pos": SQL_UDTF_WORD_POS,
     "unpivot_measures": SQL_UNPIVOT_MEASURES,
+    "join_range_bucketed": SQL_JOIN_RANGE_BUCKETED,
+    # sample_stratified: engine-specific RNG → rows-only (bounded pytest)
     # approx_distinct / sample_frac: deliberately no oracle (nondeterministic
     # vs exact SQL) → driver rows-only check (bounded pytest checks in
     # tests/test_relational_parity.py)

@@ -82,6 +82,16 @@ def test_iceberglite_partition_pruning_excludes_files(spark, tmp_path):
     assert files and all("seg=BUILDING" in f for f in files)
 
 
+def test_range_bucketed_join_is_equi_not_nested_loop(spark):
+    """The bucketized interval join must plan as a HASH equi-join on the
+    bucket id (with the exact range as a post-condition), never a
+    nested-loop/cartesian product — that is its whole reason to exist
+    next to q_join_theta (which IS the nested-loop category demo)."""
+    p = plan_str(Q.RELATIONAL_QUERIES["join_range_bucketed"](spark, SF001))
+    assert "NestedLoop" not in p and "Cartesian" not in p
+    assert "HashJoin" in p or "SortMergeJoin" in p
+
+
 def test_salted_agg_has_two_phases(spark):
     from joint_entity_and_relation_extraction_spark.operators import skew as SK
 

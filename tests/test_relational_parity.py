@@ -68,3 +68,28 @@ def test_sample_frac_subset_and_count_band(spark, con):
     import math
     sigma = math.sqrt(n * 0.1 * 0.9)
     assert abs(sum(got.values()) - 0.1 * n) <= 6 * sigma, (sum(got.values()), n)
+
+
+def test_sample_stratified_subset_and_per_stratum_bands(spark, con):
+    """sampleBy must be a true multiset-subset per stratum and each
+    stratum's count must sit within ±6σ of its own rate — a sampler that
+    ignores strata (one global rate) or fabricates rows fails loudly."""
+    import math
+    from collections import Counter
+
+    rates = {"A": 0.05, "N": 0.2, "R": 0.1}
+    rows = Q.RELATIONAL_QUERIES["sample_stratified"](spark, SF001).collect()
+    got = Counter((r.l_orderkey, r.l_linenumber, r.l_returnflag)
+                  for r in rows)
+    table = Counter(con.execute(
+        "SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem"
+    ).fetchall())
+    assert all(table[k] >= c for k, c in got.items())
+    per_stratum = Counter(r.l_returnflag for r in rows)
+    totals = dict(con.execute(
+        "SELECT l_returnflag, COUNT(*) FROM lineitem GROUP BY 1").fetchall())
+    for flag, p in rates.items():
+        n = totals[flag]
+        sigma = math.sqrt(n * p * (1 - p))
+        assert abs(per_stratum[flag] - p * n) <= 6 * sigma, (
+            flag, per_stratum[flag], p * n)
