@@ -319,5 +319,91 @@ def drop_partitions(root: str, where: dict[str, object]) -> int:
     return snap_id
 
 
+class CommitConflict(RuntimeError):
+    """A concurrent writer committed between a maintenance read and its
+    commit; the caller should retry against the new current snapshot."""
+
+
+def compact(spark: SparkSession, root: str) -> int:
+    """Maintenance: rewrite the CURRENT snapshot into one file per
+    partition and commit it as a new snapshot whose unit list is ONLY the
+    rewritten units. This is the small-file compaction every
+    streaming-append table needs at scale — a foreachBatch writer commits
+    a snapshot per micro-batch, so after N batches a partition is
+    scattered over N small files and scan task count grows O(N).
+    Data is bit-identical (tested); older snapshots still time-travel to
+    the pre-compaction file sets.
+
+    Concurrency: the rewrite reads OUTSIDE the lock (it is the expensive
+    part); at commit time, if another writer advanced the table since,
+    raises :class:`CommitConflict` instead of silently dropping that
+    writer's rows — the same validate-at-commit rule real Iceberg uses
+    for rewrite operations."""
+    from pyspark.sql import functions as F
+
+    m = _load(root)
+    base = m["current_snapshot"]
+    if base is None:
+        raise ValueError(f"IcebergLite table {root} has never been written")
+    partition_by = m["partition_by"]
+    df = read(spark, root, snapshot=base)
+    if partition_by:
+        # one shuffle task per partition value -> one output file each
+        df = df.repartition(*[F.col(c) for c in partition_by])
+    else:
+        df = df.coalesce(1)
+    new_units = _write_snapshot(df, root, _new_token(), partition_by)
+    with _meta_lock(root):
+        m = _load(root)
+        if m["current_snapshot"] != base:
+            raise CommitConflict(
+                f"table advanced {base} -> {m['current_snapshot']} during "
+                f"compaction; retry")
+        snap_id = _next_id(m)
+        m["snapshots"].append({
+            "id": snap_id, "parent": base, "operation": "compact",
+            "units": new_units, "added": new_units, "tag": None,
+            "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        })
+        m["current_snapshot"] = snap_id
+        _commit(root, m)
+    return snap_id
+
+
+def expire_snapshots(root: str, keep_last: int = 1) -> list[str]:
+    """Maintenance: drop all but the newest ``keep_last`` snapshots from
+    the manifest and DELETE snap directories no retained snapshot
+    references — the disk-reclaim counterpart of append-forever metadata
+    (real Iceberg's expire_snapshots + remove_orphan_files in one step,
+    valid here because all data lives under ``data/snap-*``). Returns the
+    removed directory names. Time travel to expired snapshots is gone by
+    design; the current snapshot is always retained."""
+    import shutil
+
+    with _meta_lock(root):
+        m = _load(root)
+        snaps = m["snapshots"]
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        if len(snaps) <= keep_last:
+            return []
+        kept = snaps[-keep_last:]
+        kept_ids = {s["id"] for s in kept}
+        for s in kept:
+            if s["parent"] not in kept_ids:
+                s["parent"] = None  # history truncated here
+        referenced = {u.split(os.sep)[1] for s in kept for u in s["units"]}
+        m["snapshots"] = kept
+        _commit(root, m)
+    removed = []
+    data_dir = os.path.join(root, "data")
+    if os.path.isdir(data_dir):
+        for d in sorted(os.listdir(data_dir)):
+            if d.startswith("snap-") and d not in referenced:
+                shutil.rmtree(os.path.join(data_dir, d), ignore_errors=True)
+                removed.append(d)
+    return removed
+
+
 def exists(root: str) -> bool:
     return current_snapshot(root) is not None

@@ -224,3 +224,76 @@ def test_fresh_lock_still_blocks_until_timeout(spark, tbl):
     with _pytest.raises(TimeoutError, match="manifest.lock"):
         with _meta_lock(tbl, timeout=0.3):
             pass
+
+
+def _file_count(root, snap_id):
+    m = il._load(root)
+    units = il._units_at(m, snap_id)
+    n = 0
+    for u in units:
+        n += sum(1 for f in os.listdir(os.path.join(root, u))
+                 if f.endswith(".parquet"))
+    return n
+
+
+def test_compact_rewrites_small_files_same_data(spark, tbl):
+    """Five appends scatter each partition over five files; compact must
+    collapse to one file per partition, keep the data bit-identical, and
+    leave the pre-compaction snapshot time-travelable."""
+    for i in range(5):
+        il.append(_df(spark, [("a", i), ("b", 10 + i)]), tbl, ["k"])
+    before_snap = il.current_snapshot(tbl)
+    before = sorted(map(tuple, il.read(spark, tbl).collect()))
+    assert _file_count(tbl, before_snap) == 10  # 2 partitions x 5 appends
+    snap = il.compact(spark, tbl)
+    assert sorted(map(tuple, il.read(spark, tbl).collect())) == before
+    assert _file_count(tbl, snap) == 2  # one file per partition
+    # time travel to the pre-compaction snapshot still sees the same rows
+    assert sorted(map(tuple,
+                      il.read(spark, tbl, snapshot=before_snap).collect())) \
+        == before
+
+
+def test_compact_conflict_detection(spark, tbl):
+    """A writer that advances the table between compaction's read and its
+    commit must trigger CommitConflict, never silent row loss."""
+    il.append(_df(spark, [("a", 1)]), tbl, ["k"])
+    base = il.current_snapshot(tbl)
+    # simulate the concurrent commit by appending before compact's lock:
+    # monkey-patch _write_snapshot to append mid-flight
+    real_write = il._write_snapshot
+    raced = []
+
+    def racing_write(df, root, token, partition_by):
+        units = real_write(df, root, token, partition_by)
+        if not raced:  # the racer's own append re-enters this patch —
+            raced.append(1)  # race exactly once or it recurses forever
+            il.append(_df(spark, [("b", 2)]), tbl, ["k"])
+        return units
+
+    il._write_snapshot = racing_write
+    try:
+        with pytest.raises(il.CommitConflict):
+            il.compact(spark, tbl)
+    finally:
+        il._write_snapshot = real_write
+    # racer's row survived; table still consistent
+    assert il.read(spark, tbl).count() == 2
+
+
+def test_expire_snapshots_reclaims_unreferenced_dirs(spark, tbl):
+    """After compaction, expiring history must delete the old snap dirs
+    (no retained snapshot references them), keep the compacted data
+    readable, and truncate the manifest to keep_last entries."""
+    for i in range(3):
+        il.append(_df(spark, [("a", i)]), tbl, ["k"])
+    before = sorted(map(tuple, il.read(spark, tbl).collect()))
+    il.compact(spark, tbl)
+    n_dirs_before = len(os.listdir(os.path.join(tbl, "data")))
+    removed = il.expire_snapshots(tbl, keep_last=1)
+    assert len(removed) == 3  # the three pre-compaction append dirs
+    assert len(os.listdir(os.path.join(tbl, "data"))) == n_dirs_before - 3
+    assert sorted(map(tuple, il.read(spark, tbl).collect())) == before
+    assert len(il.snapshots(tbl)) == 1
+    # expiring an already-minimal table is a no-op
+    assert il.expire_snapshots(tbl, keep_last=1) == []
