@@ -142,6 +142,43 @@ def _sql_langid_predict() -> str:
 SQL_LANGID_PREDICT = _sql_langid_predict()
 
 
+def winnow_fingerprint(spark: SparkSession, sf_dir: str, k: int = 5,
+                       w: int = 8) -> DataFrame:
+    """MOSS-style winnowing fingerprints (Schleimer/Wilkerson/Aiken):
+    hash every word k-gram, then in each sliding window of w consecutive
+    hashes select the minimum (rightmost on ties) — any two documents
+    sharing a run of w+k-1 words share a fingerprint, which makes the
+    selected (pos, hash) rows a provable near-dup blocking key at a
+    fraction of the k-gram volume.
+
+    Entirely JVM-side: k-gram hashing is xxhash64 inside a transform(),
+    the window minimum is a struct-min over (hash, -pos) — tie →
+    smallest -pos → RIGHTMOST position, the robust-winnowing rule — and
+    short documents (< w k-grams) degrade to their global minimum.
+    Rows-only for the driver (no xxhash64 in DuckDB); exact parity vs a
+    python reference winnower is pytest-gated."""
+    from pyspark.sql import Window
+
+    d = read_table(spark, sf_dir, "documents")
+    words = _words()
+    n = F.size(words)
+    kgrams = F.when(n >= k, F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, k)))
+    )).otherwise(F.array().cast("array<bigint>"))
+    ex = d.select("doc_id", F.posexplode(kgrams).alias("pos", "h"))
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    sel = (ex
+           .withColumn("m", F.min(F.struct(
+               F.col("h"), (-F.col("pos")).alias("np"))).over(win))
+           .withColumn("nkg", F.count("*").over(Window.partitionBy("doc_id"))))
+    return (sel.filter(F.col("pos") <= F.greatest(F.col("nkg") - w, F.lit(0)))
+            .select("doc_id",
+                    (-F.col("m.np")).cast("bigint").alias("fp_pos"),
+                    F.col("m.h").alias("fp_hash"))
+            .distinct())
+
+
 def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: md5 over case/whitespace-normalized text plus
     a length bucket — the key for fuzzy-exact dedup at scale."""

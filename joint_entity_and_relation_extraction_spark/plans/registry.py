@@ -147,6 +147,7 @@ ANALYTICS_QUERIES = {
     "text_langid_scores": TS.langid_scores,
     "text_langid_predict": TS.langid_predict,
     "text_fingerprint": TS.fingerprint,
+    "text_winnow_fingerprint": TS.winnow_fingerprint,
     "mm_binary_metadata": MM.binary_metadata,
     "mm_media_features": MM.media_features,
     "grouped_map_sessionize": PO.sessionize_events,

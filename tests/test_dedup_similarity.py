@@ -283,3 +283,54 @@ def test_ivf_partitions_corpus_into_balanced_lists(spark):
     assert sum(counts.values()) == e.count()
     assert max(counts.values()) < 0.8 * e.count()
     assert len(counts) > 1
+
+
+def test_winnow_fingerprint_matches_python_reference(spark):
+    """The JVM window-min winnowing (struct-min over (hash, -pos), full
+    windows only, short-doc global-min fallback) must equal a direct
+    python winnower on the same k-gram hashes."""
+    from joint_entity_and_relation_extraction_spark.operators import (
+        textstats as TS)
+    from joint_entity_and_relation_extraction_spark.sources.io import read_table
+
+    k, w = 5, 8
+    got = {}
+    for r in TS.winnow_fingerprint(spark, SF0001, k=k, w=w).collect():
+        got.setdefault(r.doc_id, set()).add((r.fp_pos, r.fp_hash))
+    docs = (read_table(spark, SF0001, "documents")
+            .select("doc_id", F.expr(
+                "transform(sequence(1, greatest(size(split(text,' '))-4, 0)),"
+                " i -> xxhash64(concat_ws(' ', slice(split(text,' '), i, 5))))"
+            ).alias("hs")).collect())
+    for d in docs:
+        hs = list(d.hs)
+        want = set()
+        if hs:
+            for start in range(max(len(hs) - w, 0) + 1):
+                window = hs[start:start + w]
+                mn = min(window)
+                # rightmost minimal position (robust winnowing)
+                pos = start + max(i for i, v in enumerate(window) if v == mn)
+                want.add((pos, mn))
+        assert got.get(d.doc_id, set()) == want, d.doc_id
+
+
+def test_winnow_fingerprints_overlap_on_near_duplicates(spark, neardup_dir):
+    """Guarantee property: a doc and its first-word-edited copy share all
+    fingerprints outside the edit neighborhood — overlap must be high,
+    and exact for the tail."""
+    from joint_entity_and_relation_extraction_spark.operators import (
+        textstats as TS)
+
+    d, expected = neardup_dir
+    fps = {}
+    for r in TS.winnow_fingerprint(spark, d).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp_hash)
+    checked = 0
+    for orig, dup in expected:
+        a, b = fps.get(orig, set()), fps.get(dup, set())
+        if len(a) >= 5:
+            overlap = len(a & b) / len(a)
+            assert overlap >= 0.6, (orig, dup, overlap)
+            checked += 1
+    assert checked >= 10
