@@ -297,3 +297,32 @@ def test_expire_snapshots_reclaims_unreferenced_dirs(spark, tbl):
     assert len(il.snapshots(tbl)) == 1
     # expiring an already-minimal table is a no-op
     assert il.expire_snapshots(tbl, keep_last=1) == []
+
+
+def test_compact_between_streaming_batches(spark, tbl):
+    """Maintenance composes with the exactly-once sink: compact between
+    micro-batches, then (a) a replayed pre-compaction batch is still a
+    no-op — its idempotency tag survives expiry of nothing — and (b) new
+    batches append normally onto the compacted snapshot."""
+    from joint_entity_and_relation_extraction_spark.functions import webgen
+    from joint_entity_and_relation_extraction_spark.operators.webpages import (
+        WEB_PAGES_SCHEMA)
+    from joint_entity_and_relation_extraction_spark.streaming.ingest import (
+        batch_extract_handler)
+
+    def batch(i):
+        rows = [webgen.web_page_row(100 * i + j,
+                                    f"Alice works for Acme {i} {j}.",
+                                    "en", "crawl") for j in range(3)]
+        return spark.createDataFrame(rows, WEB_PAGES_SCHEMA)
+
+    handle = batch_extract_handler(tbl)
+    for i in range(3):
+        handle(batch(i), i)
+    n = il.read(spark, tbl).count()
+    il.compact(spark, tbl)
+    assert il.read(spark, tbl).count() == n
+    handle(batch(1), 1)  # replay of a PRE-compaction batch: still no-op
+    assert il.read(spark, tbl).count() == n
+    handle(batch(7), 7)  # genuinely new batch appends onto compacted base
+    assert il.read(spark, tbl).count() > n
