@@ -1119,6 +1119,22 @@ def q_sample_stratified(spark, sf):
         "l_orderkey", "l_linenumber", "l_returnflag")
 
 
+def q_agg_approx_percentile(spark, sf):
+    """Approximate percentiles (Greenwald-Khanna sketch, accuracy 1/1000):
+    the mergeable-sketch aggregation shape — each partition builds a
+    bounded-size sketch, sketches merge associatively, so the shuffle
+    moves O(sketch) bytes however large the corpus is. Deterministic for
+    fixed input but not equal to exact SQL percentiles → driver rows-only;
+    the ε-rank error bound vs DuckDB's exact quantiles is pytest-gated
+    (tests/test_relational_parity.py)."""
+    li = read_table(spark, sf, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(*[F.approx_percentile(
+                       F.col("l_extendedprice").cast("double"),
+                       F.lit(p / 100.0), F.lit(1000))
+                   .alias(f"p{p}") for p in (25, 50, 95)]))
+
+
 # --- registry ---------------------------------------------------------------
 
 RELATIONAL_QUERIES = {
@@ -1175,6 +1191,7 @@ RELATIONAL_QUERIES = {
     "unpivot_measures": q_unpivot_measures,
     "join_range_bucketed": q_join_range_bucketed,
     "sample_stratified": q_sample_stratified,
+    "agg_approx_percentile": q_agg_approx_percentile,
 }
 
 RELATIONAL_ORACLE = {

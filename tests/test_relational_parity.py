@@ -93,3 +93,23 @@ def test_sample_stratified_subset_and_per_stratum_bands(spark, con):
         sigma = math.sqrt(n * p * (1 - p))
         assert abs(per_stratum[flag] - p * n) <= 6 * sigma, (
             flag, per_stratum[flag], p * n)
+
+
+def test_approx_percentile_within_rank_error(spark, con):
+    """GK-sketch percentiles can't hash-match exact SQL quantiles, but at
+    accuracy=1000 the result must sit between the exact (p-eps) and
+    (p+eps) quantiles with eps = 1/1000 (plus one value of slack at the
+    discrete boundaries) — a broken sketch or wrong column fails loudly."""
+    rows = {r.l_returnflag: r for r in
+            Q.RELATIONAL_QUERIES["agg_approx_percentile"](spark, SF001)
+            .collect()}
+    eps = 1.0 / 1000
+    for flag, r in rows.items():
+        vals = [v for (v,) in con.execute(
+            "SELECT CAST(l_extendedprice AS DOUBLE) FROM lineitem "
+            f"WHERE l_returnflag = '{flag}' ORDER BY 1").fetchall()]
+        n = len(vals)
+        for p, got in ((0.25, r.p25), (0.50, r.p50), (0.95, r.p95)):
+            lo = vals[max(0, int((p - eps) * n) - 1)]
+            hi = vals[min(n - 1, int((p + eps) * n) + 1)]
+            assert lo <= got <= hi, (flag, p, got, lo, hi)
