@@ -379,7 +379,7 @@ Query suite at local[{CPUS}] (seconds):
         "docs_per_sec_n": lo["docs_per_sec"],
         "docs_per_sec_4n": hi["docs_per_sec"],
         "docs_per_sec_local32": full["docs_per_sec"],
-        "docs_per_sec_local32_runs": full["secs"],
+        "headline_wall_secs_all_runs": full["secs"],
         "docs_per_sec_local32_scaling_cfg": full32["docs_per_sec"],
         "docs_per_sec_local32_residue_realistic": real["docs_per_sec"],
         "residue_realistic": real["residue"],
