@@ -258,3 +258,69 @@ def stateful_domain_sessions(pages: DataFrame, gap: str = "10 minutes",
             outputMode="update",
             timeoutConf=GroupStateTimeout.EventTimeTimeout)
     )
+
+
+def tws_domain_stats(pages: DataFrame) -> DataFrame:
+    """Per-domain running crawl totals via ``transformWithStateInPandas``
+    (Spark 4's arbitrary-stateful API — explicit named state variables on
+    a StatefulProcessor, successor to applyInPandasWithState; closes the
+    last row of the stateful API surface next to
+    :func:`stateful_domain_sessions`).
+
+    State: one ValueState ``agg`` = (n_pages, langs). Each micro-batch
+    folds its rows into the state and emits a RUNNING snapshot row —
+    the incremental per-key aggregate pattern (crawl budgets, per-domain
+    rate trackers) where the state schema is declared, not smuggled
+    through a tuple convention.
+
+    SANDBOX LIMITATION: executing this operator needs ``google.protobuf``
+    (the TWS driver-worker protocol dep), which this container lacks and
+    cannot install (SURVEY.md §0.4) — the query-build path is exercised
+    unconditionally and the end-to-end test runs wherever protobuf
+    exists (tests/test_streaming.py gates on the import, the same policy
+    as multimodal.decode_image_real). applyInPandasWithState
+    (:func:`stateful_domain_sessions`) is the fully-tested stateful path
+    in this sandbox.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+    from pyspark.sql.types import (ArrayType, LongType, StringType,
+                                   StructField, StructType)
+
+    out_t = StructType([
+        StructField("domain", StringType()),
+        StructField("n_pages", LongType()),
+        StructField("n_langs", LongType()),
+    ])
+    state_t = StructType([
+        StructField("n", LongType()),
+        StructField("langs", ArrayType(StringType())),
+    ])
+
+    class DomainStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", state_t)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, langs = (self._agg.get() if self._agg.exists()
+                        else (0, []))
+            langs = set(langs)
+            for pdf in rows:
+                n += len(pdf)
+                langs |= set(pdf["lang"].dropna().tolist())
+            self._agg.update((n, sorted(langs)))
+            yield pd.DataFrame({"domain": [key[0]], "n_pages": [n],
+                                "n_langs": [len(langs)]})
+
+        def close(self) -> None:
+            pass
+
+    domain = F.regexp_extract("url", r"https://([^/]+)/", 1)
+    return (
+        pages.withColumn("domain", domain)
+        .groupBy("domain")
+        .transformWithStateInPandas(
+            statefulProcessor=DomainStats(),
+            outputStructType=out_t, outputMode="Update", timeMode="None")
+    )
