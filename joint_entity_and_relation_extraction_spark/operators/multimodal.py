@@ -87,3 +87,68 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     per batch so one corrupt blob can't poison a partition)."""
     wp = web_pages(spark, sf_dir).select("url", "html")
     return wp.mapInPandas(_decode_batches, schema=FEATURES_SCHEMA)
+
+
+# --- video frame sampling (task brief: "frame-sample as Pandas UDFs over
+#     mapInPandas") --------------------------------------------------------
+
+FRAME_SAMPLE_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("n_frames", IntegerType(), False),
+    StructField("frame_idx", IntegerType(), False),
+    StructField("t_ms", LongType(), False),
+    StructField("frame_sha", StringType(), False),
+])
+
+
+def probe_video_real(data: bytes) -> tuple[int, float]:
+    """Real container-probe slot (n_frames, fps) — needs ffmpeg/pyav,
+    absent from this container (SURVEY.md §0.4)."""
+    raise NotImplementedError(
+        "video probe requires ffmpeg/pyav (not in sandbox); "
+        "the pipeline uses the deterministic fake below")
+
+
+def _fake_probe(data: bytes) -> tuple[int, float]:
+    """Deterministic stand-in with the real probe's output shape."""
+    digest = hashlib.sha256(data).digest()
+    fps = 12.0 + (digest[0] % 19)          # 12..30 fps
+    n_frames = int(fps * (5 + digest[1] % 56))  # 5s..60s clips
+    return n_frames, fps
+
+
+def _frame_batches(max_frames: int):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in
+                                     ("url", "n_frames", "frame_idx",
+                                      "t_ms", "frame_sha")}
+            for url, blob in zip(pdf["url"], pdf["html"]):
+                data = bytes(blob)
+                n_frames, fps = _fake_probe(data)
+                k = min(max_frames, n_frames)
+                # evenly spaced sample, first frame always included —
+                # the standard keyframe-ish sampling for captioning
+                idxs = sorted({int(i * n_frames / k) for i in range(k)})
+                for fi in idxs:
+                    rows["url"].append(url)
+                    rows["n_frames"].append(n_frames)
+                    rows["frame_idx"].append(fi)
+                    rows["t_ms"].append(int(fi * 1000.0 / fps))
+                    rows["frame_sha"].append(hashlib.sha256(
+                        data + fi.to_bytes(4, "big")).hexdigest()[:16])
+            yield pd.DataFrame(rows)
+    return gen
+
+
+def frame_sample(spark: SparkSession, sf_dir: str,
+                 max_frames: int = 8) -> DataFrame:
+    """Video frame sampling as a 1→many mapInPandas expansion: each
+    binary blob probes to (n_frames, fps) and emits ≤max_frames evenly
+    spaced frame rows with timestamps and a per-frame content id. The
+    decode itself is the honestly-stubbed slot (:func:`probe_video_real`);
+    everything Spark-side — schema, Arrow batch fan-out, partition
+    inheritance from the rebalanced scan — is real and tested."""
+    wp = web_pages(spark, sf_dir).select("url", "html")
+    return wp.mapInPandas(_frame_batches(max_frames),
+                          schema=FRAME_SAMPLE_SCHEMA)

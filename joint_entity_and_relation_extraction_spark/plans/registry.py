@@ -150,6 +150,7 @@ ANALYTICS_QUERIES = {
     "text_winnow_fingerprint": TS.winnow_fingerprint,
     "mm_binary_metadata": MM.binary_metadata,
     "mm_media_features": MM.media_features,
+    "mm_frame_sample": MM.frame_sample,
     "grouped_map_sessionize": PO.sessionize_events,
     "udaf_weighted_avg": PO.weighted_avg_by_type,
 }
