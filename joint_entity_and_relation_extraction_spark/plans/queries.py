@@ -1155,7 +1155,6 @@ RELATIONAL_QUERIES = {
     "join_asof": q_join_asof,
     "agg_group_multi": q_agg_group_multi,
     "agg_count_distinct": q_agg_count_distinct,
-    "agg_approx_distinct": q_agg_approx_distinct,
     "agg_rollup": q_agg_rollup,
     "agg_cube": q_agg_cube,
     "window_rank": q_window_rank,
@@ -1174,7 +1173,6 @@ RELATIONAL_QUERIES = {
     "json_funcs": q_json_funcs,
     "explode_array": q_explode_array,
     "pivot_event_type": q_pivot_event_type,
-    "sample_frac": q_sample_frac,
     "set_union_distinct": q_set_union_distinct,
     "window_range_interval": q_window_range_interval,
     "agg_grouping_sets": q_agg_grouping_sets,
@@ -1192,6 +1190,11 @@ RELATIONAL_QUERIES = {
     "join_range_bucketed": q_join_range_bucketed,
     "sample_stratified": q_sample_stratified,
     "agg_approx_percentile": q_agg_approx_percentile,
+    # rows-only relational entries live at the END so every relational
+    # slot inside the driver's 50-entry window is hash-checkable; both
+    # already have driver rows from r01/r02 and ±σ pytest bands
+    "agg_approx_distinct": q_agg_approx_distinct,
+    "sample_frac": q_sample_frac,
 }
 
 RELATIONAL_ORACLE = {
