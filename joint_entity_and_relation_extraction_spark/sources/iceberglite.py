@@ -167,7 +167,7 @@ def append(df: DataFrame, root: str, partition_by: list[str] | None = None,
         m["snapshots"].append({
             "id": snap_id, "parent": parent, "operation": "append",
             "units": _units_at(m, parent) + new_units, "added": new_units,
-            "tag": tag,
+            "tag": tag, "schema": schema_json,
             "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
         })
         m["current_snapshot"] = snap_id
@@ -196,7 +196,7 @@ def overwrite_partitions(df: DataFrame, root: str,
         m["snapshots"].append({
             "id": snap_id, "parent": parent, "operation": "overwrite",
             "units": kept + new_units, "added": new_units,
-            "tag": tag,
+            "tag": tag, "schema": schema_json,
             "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
         })
         m["current_snapshot"] = snap_id
@@ -209,6 +209,15 @@ def committed_tags(root: str) -> set[str]:
     micro-batch detect it already committed (exactly-once foreachBatch)."""
     return {s["tag"] for s in _load(root)["snapshots"]
             if s.get("tag") is not None}
+
+
+def _schema_at(manifest: dict, snapshot: int | None) -> str | None:
+    """Schema json committed AT a snapshot (falls back to the table-level
+    schema for manifests written before per-snapshot schemas existed)."""
+    for s in manifest["snapshots"]:
+        if s["id"] == snapshot and s.get("schema") is not None:
+            return s["schema"]
+    return manifest.get("schema")
 
 
 def _units_at(manifest: dict, snapshot: int | None) -> list[str]:
@@ -272,7 +281,7 @@ def read(spark: SparkSession, root: str, snapshot: int | None = None,
             return True
         units = [u for u in units if keep(u)]
     if not units:
-        schema_json = m.get("schema")
+        schema_json = _schema_at(m, snap)
         if schema_json is None:
             raise ValueError(
                 f"IcebergLite table {root} has never been written"
@@ -288,7 +297,22 @@ def read(spark: SparkSession, root: str, snapshot: int | None = None,
         spark.read.option("basePath", os.path.join(root, snap_dir)).parquet(*paths)
         for snap_dir, paths in sorted(by_snap.items())
     ]
-    return reduce(lambda a, b: a.unionByName(b), parts)
+    # schema evolution (Iceberg add-column semantics): snapshots written
+    # before a column existed union in with NULLs for it; the committed
+    # manifest schema fixes the final column set and order, so a reader
+    # at snapshot S sees exactly the columns that existed at S
+    out = reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
+    snap_schema = _schema_at(m, snap)
+    if snap_schema is not None:
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+        want = StructType.fromJson(json.loads(snap_schema))
+        cols = [F.col(f.name) if f.name in out.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in want.fields]
+        out = out.select(*cols)
+    return out
 
 
 def drop_partitions(root: str, where: dict[str, object]) -> int:
@@ -311,7 +335,7 @@ def drop_partitions(root: str, where: dict[str, object]) -> int:
     snap_id = _next_id(m)
     m["snapshots"].append({
         "id": snap_id, "parent": parent, "operation": "delete",
-        "units": kept, "added": [],
+        "units": kept, "added": [], "schema": _schema_at(m, parent),
         "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
     })
     m["current_snapshot"] = snap_id
@@ -363,6 +387,7 @@ def compact(spark: SparkSession, root: str) -> int:
         m["snapshots"].append({
             "id": snap_id, "parent": base, "operation": "compact",
             "units": new_units, "added": new_units, "tag": None,
+            "schema": _schema_at(m, base),
             "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
         })
         m["current_snapshot"] = snap_id

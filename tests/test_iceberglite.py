@@ -326,3 +326,25 @@ def test_compact_between_streaming_batches(spark, tbl):
     assert il.read(spark, tbl).count() == n
     handle(batch(7), 7)  # genuinely new batch appends onto compacted base
     assert il.read(spark, tbl).count() > n
+
+
+def test_schema_evolution_add_column(spark):
+    """Iceberg add-column semantics: appending a superset schema evolves
+    the table — new reads see the new column (NULL for pre-evolution
+    rows), while a read PINNED at a pre-evolution snapshot sees exactly
+    the columns that existed then."""
+    import tempfile
+
+    tbl = tempfile.mkdtemp(prefix="evo-") + "/tbl"
+    s1 = il.append(_df(spark, [("a", 1), ("b", 2)]), tbl, ["k"])
+    wide = spark.createDataFrame([("c", 3, "x")], "k string, v int, extra string")
+    il.append(wide, tbl, ["k"])
+    cur = il.read(spark, tbl)
+    assert cur.columns == ["k", "v", "extra"]
+    got = {(r.k, r.v, r.extra) for r in cur.collect()}
+    assert got == {("a", 1, None), ("b", 2, None), ("c", 3, "x")}
+    old = il.read(spark, tbl, snapshot=s1)
+    assert old.columns == ["k", "v"]
+    assert {(r.k, r.v) for r in old.collect()} == {("a", 1), ("b", 2)}
+    # partition pruning + evolution compose: pre-evolution partition only
+    assert il.read(spark, tbl, where={"k": "a"}).collect()[0].extra is None
