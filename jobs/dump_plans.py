@@ -1,0 +1,57 @@
+"""Write BENCH/PLANS.md: `.explain("formatted")` for the headline
+queries — the plan-quality evidence artifact (pushed filters, pruned
+schemas, join strategies, WholeStageCodegen spans, no stray exchanges).
+
+Run from the repo root: ``python jobs/dump_plans.py [sf_dir]``.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from joint_entity_and_relation_extraction_spark.plans import registry
+from joint_entity_and_relation_extraction_spark.session import build_session
+
+SHOW = [
+    "filter_pushdown",        # PushedFilters + ReadSchema pruning
+    "join_broadcast",         # BroadcastHashJoin on the dim side
+    "join_sortmerge",         # big-big SortMergeJoin
+    "join_range_bucketed",    # interval join as hash equi-join (no NL)
+    "agg_salted_skew",        # two-phase salted aggregation
+    "dedup_minhash_lsh",      # banded self-join, checkpointed keys
+    "text_winnow_fingerprint",  # one exchange + one sort for two windows
+    "stream_session_batch",   # session_window aggregation
+]
+
+
+def formatted_plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted")
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = build_session(master="local[4]", app_name="jers-plans")
+    qs = registry.all_queries()
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/PLANS.md", "w") as f:
+        f.write(f"# Physical plans ({sf}, {time.strftime('%Y-%m-%d')})\n\n"
+                "`.explain('formatted')` for the headline queries — the "
+                "plans the engine actually runs. Gated invariants live in "
+                "tests/test_plan_quality.py; this file is the read-along "
+                "evidence.\n")
+        for name in SHOW:
+            f.write(f"\n## {name}\n\n```\n")
+            f.write(formatted_plan(qs[name](spark, sf)).strip())
+            f.write("\n```\n")
+    registry.clear_caches()
+    spark.stop()
+    print("BENCH/PLANS.md written")
+
+
+if __name__ == "__main__":
+    main()
