@@ -1107,6 +1107,42 @@ GROUP BY o.o_orderkey
 """
 
 
+def q_higher_order_funcs(spark, sf):
+    """Higher-order array lambdas beyond transform/aggregate (already in
+    q_array_funcs): filter, exists, forall, zip_with. Catalyst compiles
+    the lambdas into codegen'd loops — the no-UDF way to compute over
+    array<float> embedding columns at 100 TB. The square-norm rounds to 4
+    places on both engines to absorb float summation-order differences
+    (same rule as SQL_ARRAY_FUNCS)."""
+    e = read_table(spark, sf, "embeddings")
+    emb = F.col("embedding")
+    dot_self = F.aggregate(
+        F.zip_with(emb, emb,
+                   lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return e.select(
+        "vec_id",
+        F.size(F.filter(emb, lambda x: x > 0)).cast("bigint").alias("n_pos"),
+        F.exists(emb, lambda x: x.cast("double") > 0.9).alias("has_big"),
+        F.forall(emb, lambda x: F.abs(x.cast("double")) <= 10.0)
+        .alias("bounded"),
+        F.round(dot_self, 4).alias("sq_norm_r4"),
+    )
+
+
+SQL_HIGHER_ORDER_FUNCS = """
+SELECT vec_id,
+       CAST(LEN(LIST_FILTER(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+       LEN(LIST_FILTER(embedding,
+                       x -> CAST(x AS DOUBLE) > 0.9)) > 0 AS has_big,
+       LEN(LIST_FILTER(embedding,
+                       x -> ABS(CAST(x AS DOUBLE)) > 10.0)) = 0 AS bounded,
+       ROUND((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+              FROM UNNEST(embedding) AS t(x)), 4) AS sq_norm_r4
+FROM embeddings
+"""
+
+
 def q_sample_stratified(spark, sf):
     """Per-stratum Bernoulli sampling (DataFrame.sampleBy): the
     training-data curation primitive — downsample overrepresented strata
@@ -1190,6 +1226,7 @@ RELATIONAL_QUERIES = {
     "join_range_bucketed": q_join_range_bucketed,
     "sample_stratified": q_sample_stratified,
     "agg_approx_percentile": q_agg_approx_percentile,
+    "higher_order_funcs": q_higher_order_funcs,
     # rows-only relational entries live at the END so every relational
     # slot inside the driver's 50-entry window is hash-checkable; both
     # already have driver rows from r01/r02 and ±σ pytest bands
@@ -1246,6 +1283,7 @@ RELATIONAL_ORACLE = {
     "udtf_word_pos": SQL_UDTF_WORD_POS,
     "unpivot_measures": SQL_UNPIVOT_MEASURES,
     "join_range_bucketed": SQL_JOIN_RANGE_BUCKETED,
+    "higher_order_funcs": SQL_HIGHER_ORDER_FUNCS,
     # sample_stratified: engine-specific RNG → rows-only (bounded pytest)
     # approx_distinct / sample_frac: deliberately no oracle (nondeterministic
     # vs exact SQL) → driver rows-only check (bounded pytest checks in
