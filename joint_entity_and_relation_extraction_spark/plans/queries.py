@@ -1113,7 +1113,14 @@ def q_higher_order_funcs(spark, sf):
     the lambdas into codegen'd loops — the no-UDF way to compute over
     array<float> embedding columns at 100 TB. The square-norm rounds to 4
     places on both engines to absorb float summation-order differences
-    (same rule as SQL_ARRAY_FUNCS)."""
+    (same rule as SQL_ARRAY_FUNCS). Empty-array divergence (ADVICE r03):
+    Spark's F.aggregate returns the 0.0 init for an EMPTY array while
+    DuckDB's correlated SUM over UNNEST returns NULL — the oracle wraps
+    it in COALESCE(..., 0.0). NULL arrays would still diverge (F.size →
+    NULL vs LEN semantics) — documented precondition: the embeddings
+    corpus carries no NULL vectors (the driver testdata never emits
+    them); a corpus that can should pre-filter `embedding IS NOT NULL`
+    on both engines (cross-engine rules, top of this file)."""
     e = read_table(spark, sf, "embeddings")
     emb = F.col("embedding")
     dot_self = F.aggregate(
@@ -1137,8 +1144,8 @@ SELECT vec_id,
                        x -> CAST(x AS DOUBLE) > 0.9)) > 0 AS has_big,
        LEN(LIST_FILTER(embedding,
                        x -> ABS(CAST(x AS DOUBLE)) > 10.0)) = 0 AS bounded,
-       ROUND((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
-              FROM UNNEST(embedding) AS t(x)), 4) AS sq_norm_r4
+       ROUND(COALESCE((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                       FROM UNNEST(embedding) AS t(x)), 0.0), 4) AS sq_norm_r4
 FROM embeddings
 """
 
@@ -1174,25 +1181,30 @@ def q_agg_approx_percentile(spark, sf):
 # --- registry ---------------------------------------------------------------
 
 RELATIONAL_QUERIES = {
-    # the two new streaming witnesses lead so they sit inside the driver's
+    # the two streaming witnesses lead so they sit inside the driver's
     # 50-entry correctness window (see plans/registry.py DRIVER_WINDOW)
     "stream_sliding_batch": q_stream_sliding_batch,
     "stream_session_batch": q_stream_session_batch,
+    # r04 rotation (VERDICT r03 item 3): the five r03-appended queries had
+    # never been driver-checked in any round — hoisted into the window;
+    # five twice-green entries (join_left/full/semi, agg_rollup/cube)
+    # rotate out past the window for one round, still registered and
+    # pytest-gated.
+    "unpivot_measures": q_unpivot_measures,
+    "join_range_bucketed": q_join_range_bucketed,
+    "higher_order_funcs": q_higher_order_funcs,
+    "sample_stratified": q_sample_stratified,
+    "agg_approx_percentile": q_agg_approx_percentile,
     "scan_project": q_scan_project,
     "filter_pushdown": q_filter_pushdown,
     "join_broadcast": q_join_broadcast,
     "join_sortmerge": q_join_sortmerge,
     "join_shuffledhash": q_join_shuffledhash,
-    "join_left": q_join_left,
-    "join_full": q_join_full,
-    "join_semi": q_join_semi,
     "join_anti": q_join_anti,
     "join_theta": q_join_theta,
     "join_asof": q_join_asof,
     "agg_group_multi": q_agg_group_multi,
     "agg_count_distinct": q_agg_count_distinct,
-    "agg_rollup": q_agg_rollup,
-    "agg_cube": q_agg_cube,
     "window_rank": q_window_rank,
     "window_lag_lead": q_window_lag_lead,
     "window_frame_sum": q_window_frame_sum,
@@ -1222,11 +1234,14 @@ RELATIONAL_QUERIES = {
     "join_salted": q_join_salted,
     "iceberg_snapshot_scan": q_iceberg_snapshot_scan,
     "udtf_word_pos": q_udtf_word_pos,
-    "unpivot_measures": q_unpivot_measures,
-    "join_range_bucketed": q_join_range_bucketed,
-    "sample_stratified": q_sample_stratified,
-    "agg_approx_percentile": q_agg_approx_percentile,
-    "higher_order_funcs": q_higher_order_funcs,
+    # rotated out of the driver window for r04 (all driver-green in both
+    # r02 AND r03) to make room for the five never-checked queries hoisted
+    # above; still registered, oracled, and pytest-parity-gated
+    "join_left": q_join_left,
+    "join_full": q_join_full,
+    "join_semi": q_join_semi,
+    "agg_rollup": q_agg_rollup,
+    "agg_cube": q_agg_cube,
     # rows-only relational entries live at the END so every relational
     # slot inside the driver's 50-entry window is hash-checkable; both
     # already have driver rows from r01/r02 and ±σ pytest bands

@@ -38,6 +38,19 @@ def canon(df: pd.DataFrame):
     return cols, sorted(rows)
 
 
+def driver_canon(pdf: pd.DataFrame):
+    """Mirror of the driver's rows-only canonicalization: toPandas →
+    per-row tuple HASH + sort. ``hash(tuple(row))`` raises
+    ``TypeError: unhashable type`` on any list/dict/ndarray cell — the
+    exact failure mode that produced the r03 ``mm_media_features`` driver
+    ERROR (VERDICT r03 #1/#2). Every windowed rows-only query must pass
+    through this before submit."""
+    cols = sorted(pdf.columns)
+    rows = [tuple(row)
+            for row in pdf[cols].itertuples(index=False, name=None)]
+    return cols, sorted(hash(r) for r in rows)
+
+
 def assert_matches_oracle(name, spark_df, con, sql):
     got_df = spark_df.toPandas()
     want_df = con.execute(sql).df()

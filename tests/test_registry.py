@@ -9,7 +9,7 @@ from joint_entity_and_relation_extraction_spark.plans import registry
 from joint_entity_and_relation_extraction_spark.plans.queries import RELATIONAL_ORACLE
 
 from conftest import SF001
-from parity_util import assert_matches_oracle, make_con
+from parity_util import assert_matches_oracle, driver_canon, make_con
 
 
 @pytest.fixture(scope="module")
@@ -35,8 +35,25 @@ ROWS_ONLY = sorted(set(registry.all_queries()) - set(registry.all_oracles())
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_analytics_run(spark, name):
-    df = registry.all_queries()[name](spark, SF001)
-    assert df.count() >= 0 and len(df.columns) > 0
+    """The driver canonicalizes EVERY windowed query — including rows-only
+    ones — via toPandas + row hashing, so a bare df.count() here is a
+    weaker mirror than the gate it claims to mirror (that gap let the r03
+    mm_media_features array<float> output through, VERDICT r03 #2). Run
+    the driver's actual path: full toPandas, then hash+sort every row."""
+    pdf = registry.all_queries()[name](spark, SF001).toPandas()
+    cols, hashes = driver_canon(pdf)
+    assert len(cols) > 0 and len(hashes) == len(pdf)
+
+
+@pytest.mark.parametrize("name", sorted(registry.all_queries()))
+def test_all_queries_canon_hashable(spark, name):
+    """Permanent driver-canon audit (VERDICT r03 item 6) over ALL
+    registered queries, not just the windowed 50 — a future window
+    rotation can't resurface a non-hashable (list/dict/ndarray) output
+    column. limit() keeps it cheap; unhashable cells are a property of
+    the output SCHEMA, so any row exposes them."""
+    pdf = registry.all_queries()[name](spark, SF001).limit(20).toPandas()
+    driver_canon(pdf)  # raises TypeError on any non-scalar cell
 
 
 def test_oracle_keys_subset_of_queries():
@@ -52,7 +69,12 @@ def test_driver_window_covers_priority_queries():
     window = list(registry.all_queries())[: registry.DRIVER_WINDOW]
     must = (set(registry.ANALYTICS_QUERIES)
             | set(registry.KG_QUERIES)
-            | {"stream_sliding_batch", "stream_session_batch"})
+            | {"stream_sliding_batch", "stream_session_batch"}
+            # r04 rotation: the five queries that had never been
+            # driver-checked (VERDICT r03 item 3) must sit in the window
+            | {"unpivot_measures", "join_range_bucketed",
+               "higher_order_funcs", "sample_stratified",
+               "agg_approx_percentile"})
     missing = must - set(window)
     assert not missing, f"evicted from driver window: {sorted(missing)}"
 
