@@ -49,6 +49,13 @@ def connected_components(edges: DataFrame, max_iter: int = 30,
     makes the count and the following collect share one lineage
     evaluation instead of recomputing the upstream resolution twice
     (ADVICE r02)."""
+    if algorithm not in ("star", "propagate"):
+        # ADVICE r03: a typo ('Star', 'largestar') must not silently fall
+        # through to the O(diameter) propagate path — on chain-shaped
+        # graphs that blows max_iter, the exact failure the star path
+        # exists to avoid.
+        raise ValueError(
+            f"algorithm must be 'star' or 'propagate', got {algorithm!r}")
     if not force_distributed:
         edges = edges.localCheckpoint(eager=False)
         if edges.count() <= DRIVER_CC_MAX_EDGES:

@@ -84,13 +84,33 @@ def _meta_lock(root: str, timeout: float = 60.0, stale_after: float = 60.0):
                 with open(lock) as f:
                     _pid, t0 = f.read().split()
                 stale = time.time() - float(t0) > stale_after
-            except (OSError, ValueError):
-                stale = False  # mid-write or already gone — retry
-            if stale:
+            except ValueError:
+                # unparseable content — a writer died between os.open and
+                # os.write. Without a fallback, stale stays False forever
+                # and every later writer times out (ADVICE r03): judge
+                # staleness by the lock FILE's mtime instead.
                 try:
-                    os.unlink(lock)
+                    stale = time.time() - os.stat(lock).st_mtime > stale_after
+                except OSError:
+                    stale = False  # already gone — retry acquisition
+            except OSError:
+                stale = False  # already gone — retry acquisition
+            if stale:
+                # Claim the break ATOMICALLY (ADVICE r03): with
+                # unlink+recreate, two waiters can both judge the same
+                # lock stale in one poll round, waiter B's unlink then
+                # deletes waiter A's FRESH lock and both enter the
+                # manifest read-merge-replace critical section (lost
+                # snapshot). os.rename of the lock to a breaker-unique
+                # name succeeds for exactly one waiter; losers get
+                # FileNotFoundError and re-loop against the winner's new
+                # lock.
+                claim = f"{lock}.break-{os.getpid()}-{time.time_ns()}"
+                try:
+                    os.rename(lock, claim)
                 except FileNotFoundError:
-                    pass  # another waiter broke it first
+                    continue  # another waiter won the break race
+                os.unlink(claim)
                 continue
             if time.monotonic() > deadline:
                 raise TimeoutError(
@@ -395,14 +415,23 @@ def compact(spark: SparkSession, root: str) -> int:
     return snap_id
 
 
-def expire_snapshots(root: str, keep_last: int = 1) -> list[str]:
+def expire_snapshots(root: str, keep_last: int = 1,
+                     orphan_grace_secs: float = 60.0) -> list[str]:
     """Maintenance: drop all but the newest ``keep_last`` snapshots from
     the manifest and DELETE snap directories no retained snapshot
     references — the disk-reclaim counterpart of append-forever metadata
     (real Iceberg's expire_snapshots + remove_orphan_files in one step,
     valid here because all data lives under ``data/snap-*``). Returns the
     removed directory names. Time travel to expired snapshots is gone by
-    design; the current snapshot is always retained."""
+    design; the current snapshot is always retained.
+
+    ``orphan_grace_secs`` (ADVICE r03): append/compact write their snap
+    directory BEFORE taking the manifest lock, so an unreferenced dir may
+    belong to an IN-FLIGHT writer about to commit it — deleting it would
+    make that commit reference vanished parquet. Only dirs whose mtime is
+    older than the grace window are reclaimed (same spirit as real
+    Iceberg's remove_orphan_files `older_than`, default 3 days there);
+    pass 0 only when no concurrent writers can exist."""
     import shutil
 
     with _meta_lock(root):
@@ -410,23 +439,35 @@ def expire_snapshots(root: str, keep_last: int = 1) -> list[str]:
         snaps = m["snapshots"]
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
-        if len(snaps) <= keep_last:
-            return []
-        kept = snaps[-keep_last:]
+        kept = snaps[-keep_last:] if len(snaps) > keep_last else snaps
         kept_ids = {s["id"] for s in kept}
-        for s in kept:
-            if s["parent"] not in kept_ids:
-                s["parent"] = None  # history truncated here
         referenced = {u.split(os.sep)[1] for s in kept for u in s["units"]}
-        m["snapshots"] = kept
-        _commit(root, m)
+        if len(snaps) > keep_last:
+            for s in kept:
+                if s["parent"] not in kept_ids:
+                    s["parent"] = None  # history truncated here
+            m["snapshots"] = kept
+            _commit(root, m)
+    # The orphan sweep runs even when the manifest is already minimal:
+    # a prior expire inside the grace window truncates metadata but must
+    # leave young dirs behind, and a LATER call has to be able to reclaim
+    # them once the grace elapses — early-returning here would leak them
+    # forever.
     removed = []
+    now = time.time()
     data_dir = os.path.join(root, "data")
     if os.path.isdir(data_dir):
         for d in sorted(os.listdir(data_dir)):
-            if d.startswith("snap-") and d not in referenced:
-                shutil.rmtree(os.path.join(data_dir, d), ignore_errors=True)
-                removed.append(d)
+            if not (d.startswith("snap-") and d not in referenced):
+                continue
+            path = os.path.join(data_dir, d)
+            try:
+                if now - os.stat(path).st_mtime < orphan_grace_secs:
+                    continue  # possibly an in-flight writer's files
+            except OSError:
+                continue  # raced with its own cleanup — leave it
+            shutil.rmtree(path, ignore_errors=True)
+            removed.append(d)
     return removed
 
 

@@ -290,13 +290,53 @@ def test_expire_snapshots_reclaims_unreferenced_dirs(spark, tbl):
     before = sorted(map(tuple, il.read(spark, tbl).collect()))
     il.compact(spark, tbl)
     n_dirs_before = len(os.listdir(os.path.join(tbl, "data")))
+    # default grace window: the just-written dirs could belong to an
+    # in-flight writer (ADVICE r03) — manifest truncates, dirs survive
     removed = il.expire_snapshots(tbl, keep_last=1)
+    assert removed == []
+    assert len(il.snapshots(tbl)) == 1
+    assert len(os.listdir(os.path.join(tbl, "data"))) == n_dirs_before
+    # grace elapsed (grace=0 here): unreferenced dirs are reclaimed
+    removed = il.expire_snapshots(tbl, keep_last=1, orphan_grace_secs=0)
     assert len(removed) == 3  # the three pre-compaction append dirs
     assert len(os.listdir(os.path.join(tbl, "data"))) == n_dirs_before - 3
     assert sorted(map(tuple, il.read(spark, tbl).collect())) == before
     assert len(il.snapshots(tbl)) == 1
     # expiring an already-minimal table is a no-op
-    assert il.expire_snapshots(tbl, keep_last=1) == []
+    assert il.expire_snapshots(tbl, keep_last=1, orphan_grace_secs=0) == []
+
+
+def test_empty_lock_file_is_recovered_by_mtime(spark, tbl):
+    """A writer killed between os.open and os.write leaves an EMPTY lock
+    whose content never parses; staleness must fall back to the file's
+    mtime instead of blocking forever (ADVICE r03)."""
+    import time
+
+    os.makedirs(tbl, exist_ok=True)
+    lock = os.path.join(tbl, "manifest.lock")
+    with open(lock, "w"):
+        pass  # zero bytes — unparseable
+    old = time.time() - 3600
+    os.utime(lock, (old, old))
+    il.append(_df(spark, [("a", 1)]), tbl, [])
+    assert il.read(spark, tbl).count() == 1
+    assert not os.path.exists(lock)
+
+
+def test_fresh_empty_lock_still_blocks(spark, tbl):
+    """An empty lock with a RECENT mtime is a live writer mid-os.write —
+    it must still block rather than be stolen."""
+    import pytest as _pytest
+
+    from joint_entity_and_relation_extraction_spark.sources.iceberglite import (
+        _meta_lock)
+
+    os.makedirs(tbl, exist_ok=True)
+    with open(os.path.join(tbl, "manifest.lock"), "w"):
+        pass
+    with _pytest.raises(TimeoutError, match="manifest.lock"):
+        with _meta_lock(tbl, timeout=0.3):
+            pass
 
 
 def test_compact_between_streaming_batches(spark, tbl):

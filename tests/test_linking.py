@@ -84,6 +84,14 @@ def test_cc_matches_union_find(spark, force_distributed, algorithm):
     assert got == set(want.items())
 
 
+def test_cc_rejects_unknown_algorithm(spark):
+    """A typo ('Star', 'largestar') must raise, not silently fall through
+    to the O(diameter) propagate path (ADVICE r03)."""
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="algorithm"):
+        C.connected_components(df, algorithm="Star")
+
+
 def test_star_contraction_logn_rounds_on_long_chain(spark):
     """Large-star/small-star must converge in O(log n) rounds on the
     worst-case shape for min-propagation: a 1000-node chain (diameter
