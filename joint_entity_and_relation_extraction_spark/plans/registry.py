@@ -148,6 +148,7 @@ ANALYTICS_QUERIES = {
     "text_langid_predict": TS.langid_predict,
     "text_fingerprint": TS.fingerprint,
     "text_winnow_fingerprint": TS.winnow_fingerprint,
+    "dedup_winnow_pairs": partial(DD.winnow_pairs, k=5, w=8, min_common=2),
     "mm_binary_metadata": MM.binary_metadata,
     "mm_media_features": MM.media_features,
     "mm_frame_sample": MM.frame_sample,

@@ -334,3 +334,22 @@ def test_winnow_fingerprints_overlap_on_near_duplicates(spark, neardup_dir):
             assert overlap >= 0.6, (orig, dup, overlap)
             checked += 1
     assert checked >= 10
+
+
+def test_winnow_pairs_contain_high_jaccard_pairs(spark):
+    """dedup_winnow_pairs is the blocker the winnowing fingerprints exist
+    for (VERDICT r03 item 7): any pair with substantial verbatim overlap
+    shares a >= w+k-1 word run, hence a fingerprint — so the winnow pair
+    set at min_common=1 must CONTAIN every high-Jaccard shingle pair on
+    the corpus. Also pins that min_common thresholds monotonically."""
+    wp1 = {(r.d1, r.d2): r.n_common_fp
+           for r in DD.winnow_pairs(spark, SF001, min_common=1).collect()}
+    high = [(r.d1, r.d2) for r in
+            DD.ngram_jaccard_pairs(spark, SF001, n=2, threshold=0.3).collect()]
+    assert len(high) >= 10  # the fixture corpus has injected near-dups
+    missing = [p for p in high if p not in wp1]
+    assert not missing, f"high-Jaccard pairs without a winnow block: {missing}"
+    wp2 = {(r.d1, r.d2) for r in
+           DD.winnow_pairs(spark, SF001, min_common=2).collect()}
+    assert wp2 <= set(wp1)
+    assert all(wp1[p] >= 2 for p in wp2)
