@@ -202,15 +202,25 @@ def _assign_udf(cent: np.ndarray):
 
 
 def ivf_centroids(spark: SparkSession, sf_dir: str, nlist: int = NLIST,
-                  iters: int = KMEANS_ITERS) -> np.ndarray:
+                  iters: int = KMEANS_ITERS,
+                  train_fraction: float = 1.0) -> np.ndarray:
     """Coarse quantizer: Lloyd's k-means as DataFrame ops. Assignment is
     the vectorized UDF; the M-step is a JVM-side posexplode + avg, so each
     iteration is one distributed pass + one nlist x dim collect (the
     centroid matrix is driver-sized by construction). Deterministic:
-    init = the nlist lowest vec_ids, fixed iteration count. At 10^12 rows
-    the same code trains on a sampled slice — the iteration cost is
-    O(corpus x nlist) multiply-adds, all in the Arrow batch matmul."""
+    init = the nlist lowest vec_ids, fixed iteration count.
+
+    ``train_fraction`` is the 10^12-row path (VERDICT r03 item 8): coarse
+    centroids only need the corpus' cluster STRUCTURE, which a seeded
+    Bernoulli sample preserves, so training on a slice cuts each Lloyd
+    pass to O(sample x nlist) while the later full-corpus ASSIGNMENT pass
+    (one vectorized map) is unchanged. Recall on the sampled-training
+    index is property-tested (test_dedup_similarity)."""
+    if not (0.0 < train_fraction <= 1.0):
+        raise ValueError(f"train_fraction must be in (0, 1], got {train_fraction}")
     e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if train_fraction < 1.0:
+        e = e.sample(fraction=train_fraction, seed=13)
     # seed = the nlist smallest vec_ids that actually EXIST (TakeOrdered),
     # not `vec_id < nlist` — sparse-id corpora would under-seed the index
     init = e.orderBy("vec_id").limit(nlist).collect()
@@ -230,7 +240,8 @@ def ivf_centroids(spark: SparkSession, sf_dir: str, nlist: int = NLIST,
 
 
 def ann_ivf(spark: SparkSession, sf_dir: str, n_queries: int = 8,
-            k: int = 5, nprobe: int = NPROBE) -> DataFrame:
+            k: int = 5, nprobe: int = NPROBE,
+            train_fraction: float = 1.0) -> DataFrame:
     """IVF approximate top-k: assign every corpus vector to its nearest
     coarse centroid (inverted list), probe each query's nprobe nearest
     lists via an equi-join on list_id, exact cosine re-rank within the
@@ -239,7 +250,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str, n_queries: int = 8,
     probe is a plain hash join on a small int key — at 10^12 rows the
     lists are additionally bucketed on disk (IcebergLite partition by
     list_id) so probes prune at the manifest."""
-    cent = ivf_centroids(spark, sf_dir)
+    cent = ivf_centroids(spark, sf_dir, train_fraction=train_fraction)
     base = read_table(spark, sf_dir, "embeddings")
     e = _with_norm(base).withColumn(
         "list_id", _assign_udf(cent)(F.col("embedding")))

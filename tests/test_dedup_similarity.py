@@ -353,3 +353,25 @@ def test_winnow_pairs_contain_high_jaccard_pairs(spark):
            DD.winnow_pairs(spark, SF001, min_common=2).collect()}
     assert wp2 <= set(wp1)
     assert all(wp1[p] >= 2 for p in wp2)
+
+
+def test_ann_ivf_recall_holds_with_sampled_training(spark, clustered_dir):
+    """The 10^12-row IVF path trains centroids on a Bernoulli sample
+    (similarity.ivf_centroids train_fraction): coarse cluster structure
+    survives a 20% slice, so the injected near-duplicate must still be
+    recovered for most queries and shared (qid, nid) pairs must re-rank
+    to the same exact cosine as bruteforce."""
+    approx = SIM.ann_ivf(spark, clustered_dir, n_queries=8, k=5,
+                         train_fraction=0.2).collect()
+    hits = {r.qid for r in approx if r.nid == r.qid + 100_000}
+    assert len(hits) >= 6, sorted(hits)
+    exact_cos = {(r.qid, r.nid): r.cos for r in SIM.ann_bruteforce(
+        spark, clustered_dir, n_queries=8, k=5).collect()}
+    shared = 0
+    for r in approx:
+        if (r.qid, r.nid) in exact_cos:
+            assert exact_cos[(r.qid, r.nid)] == r.cos
+            shared += 1
+    assert shared >= 10
+    with pytest.raises(ValueError, match="train_fraction"):
+        SIM.ivf_centroids(spark, clustered_dir, train_fraction=0.0)
