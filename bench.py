@@ -29,9 +29,14 @@ Design choices, all load-bearing on this shared host (BENCH/BASELINE.md):
   replication collapses the deduped model stage to its distinct residue
   (~2% of rows vs 30-70% on real Common Crawl), which would make the pair
   measure fixed latency instead of the engine (see kg_pipeline_job). The
-  headline local[CPUS] rows use the production config (dedup on) at BOTH
-  the ~2% residue (plain replication) and a ~50% realistic residue
-  (mutated replicas); headline statistics are medians, all runs shown.
+  HEADLINE local[CPUS] row is the production config (dedup on) on the
+  MUTATED corpus (~0.5 realistic residue), median of an odd number of
+  runs, all runs shown; the plain-replication ~2% residue run is the
+  disclosed dedup upper bound, never the headline.
+- Every scaling/attr pair and the headline wait for an enforced QUIET
+  window (loadavg below threshold, bounded wait, observed load recorded)
+  before measuring — r03's gate artifact was red purely from neighbor
+  load the bench only disclosed after the fact.
 - 8→32 attribution pairs (pure-JVM codegen job vs the python/model
   stage, loadavg recorded) separate engine scaling from host contention
   in the secondary 8→32 number.
@@ -61,7 +66,19 @@ HIGH_CPUS = int(os.environ.get("JERS_BENCH_HIGH_CPUS", "8"))
 # state; the replication is disclosed in BENCH/BASELINE.md and n_docs
 # scales with it.
 REPLICATE = int(os.environ.get("JERS_BENCH_REPLICATE", "64"))
-REPEATS = int(os.environ.get("JERS_BENCH_REPEATS", "2"))
+# odd so the reported median is an actual run, not a midpoint of two
+# (VERDICT r03 'What's wrong' #4)
+REPEATS = int(os.environ.get("JERS_BENCH_REPEATS", "3"))
+# Quiet-window guard (VERDICT r03 item 2): r03's scaling pair ran under
+# loadavg 17-35 from neighbor tenants and recorded 0.664 against the
+# >=0.8 gate that the same code passed at 0.888 in r02's quiet window.
+# "The host was busy" must be enforced, not asserted: before each
+# scaling pair the parent BLOCKS (bounded) until 1-min loadavg drops
+# below the threshold, and the observed load + wait are recorded in the
+# artifact. After the bounded wait the pair runs regardless — a
+# contended measurement is then at least disclosed, never silent.
+QUIET_LOAD = float(os.environ.get("JERS_BENCH_QUIET_LOAD", "8"))
+QUIET_WAIT_SECS = float(os.environ.get("JERS_BENCH_QUIET_WAIT", "900"))
 # JVM attribution probe size: tens of seconds at local[8] so the 8→32
 # ratio measures throughput, not stage fixed costs (8B rows at x64)
 ATTR_JVM_ROWS = 125_000_000 * REPLICATE
@@ -269,16 +286,38 @@ def _eff(lo: dict, hi: dict, ratio: int) -> float:
     return round((lo["sec"] / hi["sec"]) / ratio, 3)
 
 
+def _await_quiet_window(tag: str) -> dict:
+    """Block (bounded) until the 1-min loadavg is below QUIET_LOAD, then
+    return {tag, load1, waited_s} for the artifact. See the QUIET_LOAD
+    comment: the gate measurement itself is never skipped or retried —
+    one pair per window, contention disclosed if the wait expires."""
+    t0 = time.monotonic()
+    load = os.getloadavg()[0]
+    while load > QUIET_LOAD and time.monotonic() - t0 < QUIET_WAIT_SECS:
+        time.sleep(15)
+        load = os.getloadavg()[0]
+    waited = round(time.monotonic() - t0, 1)
+    if waited:
+        sys.stderr.write(f"quiet-window [{tag}]: load1={load:.1f} "
+                         f"after waiting {waited}s\n")
+    return {"tag": tag, "load1": round(load, 1), "waited_s": waited,
+            "quiet": load <= QUIET_LOAD}
+
+
 def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    # primary pair, back-to-back in one window, model-on-every-sentence
-    # configuration (see kg_pipeline_job dedup=False note)
+    quiet_log = []
+    # primary pair, back-to-back in one QUIET window (enforced, not
+    # hoped-for), model-on-every-sentence configuration (see
+    # kg_pipeline_job dedup=False note)
+    quiet_log.append(_await_quiet_window("scaling_primary"))
     lo = _run_child("--point", f"local[{LOW_CPUS}]", "--repeats", "1",
                     "--no-dedup")
     hi = _run_child("--point", f"local[{HIGH_CPUS}]", "--repeats", "1",
                     "--no-dedup")
     efficiency = _eff(lo, hi, HIGH_CPUS // LOW_CPUS)
     # secondary pair (same workload), back-to-back in its own window
+    quiet_log.append(_await_quiet_window("scaling_secondary"))
     hi2 = _run_child("--point", f"local[{HIGH_CPUS}]", "--repeats", "1",
                      "--no-dedup")
     full32 = _run_child("--point", f"local[{CPUS}]", "--repeats", "1",
@@ -299,8 +338,10 @@ def main() -> None:
             sys.stderr.write(f"bench child {args} failed: {ex}\n")
             return dict(_NA)
 
+    quiet_log.append(_await_quiet_window("attr_jvm"))
     jvm_hi = _try_child("--attr", "jvm", "--master", f"local[{HIGH_CPUS}]")
     jvm_full = _try_child("--attr", "jvm", "--master", f"local[{CPUS}]")
+    quiet_log.append(_await_quiet_window("attr_model"))
     mdl_hi = _try_child("--attr", "model", "--master", f"local[{HIGH_CPUS}]")
     mdl_full = _try_child("--attr", "model", "--master", f"local[{CPUS}]")
 
@@ -311,13 +352,17 @@ def main() -> None:
 
     eff_jvm_8_32 = _eff_or_none(jvm_hi, jvm_full)
     eff_model_8_32 = _eff_or_none(mdl_hi, mdl_full)
-    # headline throughput: the PRODUCTION configuration (inference dedup on)
-    full = _run_child("--point", f"local[{CPUS}]", "--repeats", str(REPEATS))
-    # realistic-residue headline: odd replicas token-mutated so the
-    # distinct-sentence residue is ~50% (real-Common-Crawl ballpark)
-    # instead of the ~2% a plain xK replication leaves (VERDICT r02 #3)
-    real = _try_child("--point", f"local[{CPUS}]", "--repeats", "1",
-                      "--mutate")
+    # HEADLINE throughput (VERDICT r03 item 4): the production
+    # configuration (inference dedup on) on the MUTATED corpus, whose
+    # distinct-sentence residue (~0.5) matches real Common Crawl — the
+    # defensible number. Median of REPEATS (odd), all runs disclosed.
+    quiet_log.append(_await_quiet_window("headline"))
+    real = _run_child("--point", f"local[{CPUS}]", "--repeats",
+                      str(REPEATS), "--mutate")
+    # plain xK replication (residue ~2%): the dedup UPPER BOUND —
+    # supplementary, disclosed as such, never the headline (leading with
+    # it invited the r02/r03 'disclosed != representative' criticism)
+    full = _try_child("--point", f"local[{CPUS}]", "--repeats", "1")
     qtimes = _run_child("--queries")
     qtotal = sum(qtimes.values())
 
@@ -338,12 +383,22 @@ retry/selection.
 | local[{HIGH_CPUS}] (4N) | scaling (dedup off) | {hi['sec']} | {hi['docs_per_sec']} |
 | local[{HIGH_CPUS}] (window 2) | scaling (dedup off) | {hi2['sec']} | {hi2['docs_per_sec']} |
 | local[{CPUS}] | scaling (dedup off) | {full32['sec']} | {full32['docs_per_sec']} |
-| local[{CPUS}] (headline, median of {REPEATS}: {full['secs']}) | production (dedup on, ~2% residue) | {full['sec']} | {full['docs_per_sec']} |
-| local[{CPUS}] (realistic residue {real['residue']}) | production (dedup on, mutated replicas) | {real['sec']} | {real['docs_per_sec']} |
+| **local[{CPUS}] HEADLINE (median of {REPEATS}: {real['secs']}, realistic residue {real['residue']})** | production (dedup on, mutated replicas) | **{real['sec']}** | **{real['docs_per_sec']}** |
+| local[{CPUS}] (dedup upper bound, ~2% residue) | production (dedup on, plain replication) | {full['sec']} | {full['docs_per_sec']} |
 
 **Scaling efficiency (N → 4N, primary {LOW_CPUS}→{HIGH_CPUS})** =
 ({hi['docs_per_sec']} / {lo['docs_per_sec']}) / {HIGH_CPUS // LOW_CPUS}
 = **{efficiency}** (gate: >= 0.8, BASELINE.json).
+
+Each scaling/attribution pair and the headline start only after a
+QUIET-WINDOW GUARD: the parent blocks (up to {QUIET_WAIT_SECS:.0f}s)
+until 1-min loadavg < {QUIET_LOAD}, then measures once — no retry or
+selection; if the wait expires the contended load is disclosed below.
+Observed windows: {"; ".join(f"{q['tag']}: load1={q['load1']}"
+                             + ("" if q['quiet'] else " CONTENDED")
+                             + (f" (waited {q['waited_s']}s)"
+                                if q['waited_s'] else "")
+                             for q in quiet_log)}.
 
 The scaling pair runs with sentence-level inference dedup DISABLED: the
 deterministic xK replication used to reach bench volume collapses the
@@ -355,12 +410,13 @@ the north rule describes — while the HEADLINE row reports the production
 configuration (dedup on) at local[{CPUS}]. Both configurations produce
 identical triples (parity-tested).
 
-The headline rows use dedup ON in two corpora: the plain x{REPLICATE}
-replication (distinct residue ~2% — an upper bound on what dedup can
-buy) and the MUTATED replication (odd replicas get a per-copy token
-splice, measured residue {real['residue']}) — the realistic
-Common-Crawl-like number. Headline statistics are medians with every
-run disclosed, never min-of-N.
+The HEADLINE row is the MUTATED replication (odd replicas get a
+per-copy token splice, measured distinct-sentence residue
+{real['residue']} — the real-Common-Crawl ballpark): the defensible
+throughput claim. The plain x{REPLICATE} replication row (residue ~2%)
+is the upper bound on what inference dedup can buy, reported as
+supplementary context only. Headline statistics are medians of an odd
+number of runs with every run disclosed, never min-of-N.
 
 Secondary {HIGH_CPUS}→{CPUS} (same-window pair, same config):
 **{efficiency_8_32}**. The primary pair is {LOW_CPUS}→{HIGH_CPUS} because
@@ -390,31 +446,35 @@ Query suite at local[{CPUS}] (seconds):
         f.write(f"\nTotal query suite: {round(qtotal, 2)}s\n")
 
     print(json.dumps({
+        # headline = realistic-residue production run (VERDICT r03 item 4)
         "metric": "kg_pipeline_wall_local%d" % CPUS,
-        "value": full["sec"],
+        "value": real["sec"],
         "unit": "sec",
         "queries": qtimes,
         "sf": float(sf),
         "docs_per_sec_n": lo["docs_per_sec"],
         "docs_per_sec_4n": hi["docs_per_sec"],
-        "docs_per_sec_local32": full["docs_per_sec"],
-        "headline_wall_secs_all_runs": full["secs"],
-        "docs_per_sec_local32_scaling_cfg": full32["docs_per_sec"],
-        "docs_per_sec_local32_residue_realistic": real["docs_per_sec"],
+        "docs_per_sec_local32": real["docs_per_sec"],
+        "headline_wall_secs_all_runs": real["secs"],
         "residue_realistic": real["residue"],
+        "docs_per_sec_local32_scaling_cfg": full32["docs_per_sec"],
+        "docs_per_sec_local32_residue_upper2pct": full["docs_per_sec"],
+        "upper2pct_wall_secs_all_runs": full["secs"],
         "low_cpus": LOW_CPUS,
         "high_cpus": HIGH_CPUS,
         "headline_cpus": CPUS,
         "replicate": REPLICATE,
-        "n_docs": full["n_docs"],
+        "n_docs": real["n_docs"],
         "scaling_efficiency": efficiency,
         "scaling_efficiency_8_32": efficiency_8_32,
         "attr_jvm_eff_8_32": eff_jvm_8_32,
         "attr_model_eff_8_32": eff_model_8_32,
+        "quiet_windows": quiet_log,
+        "quiet_load_threshold": QUIET_LOAD,
         "attr_loadavg": {
             "jvm_hi": jvm_hi["load1"], "jvm_full": jvm_full["load1"],
             "model_hi": mdl_hi["load1"], "model_full": mdl_full["load1"],
-            "headline": full["load1"], "realistic": real["load1"]},
+            "headline": real["load1"], "upper2pct": full["load1"]},
     }))
 
 
