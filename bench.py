@@ -77,7 +77,12 @@ REPEATS = int(os.environ.get("JERS_BENCH_REPEATS", "3"))
 # below the threshold, and the observed load + wait are recorded in the
 # artifact. After the bounded wait the pair runs regardless — a
 # contended measurement is then at least disclosed, never silent.
-QUIET_LOAD = float(os.environ.get("JERS_BENCH_QUIET_LOAD", "8"))
+# Threshold 5 (was 8): a window admitted at load1 7.9 still measured
+# 0.758 on the primary pair — ~8 neighbor cores skew the 8-wide point
+# relative to the 2-wide one; ambient load on this host does drop to
+# 2-4 within minutes (observed), so waiting for a genuinely quiet
+# window is cheaper than a contaminated gate artifact.
+QUIET_LOAD = float(os.environ.get("JERS_BENCH_QUIET_LOAD", "5"))
 QUIET_WAIT_SECS = float(os.environ.get("JERS_BENCH_QUIET_WAIT", "900"))
 # JVM attribution probe size: tens of seconds at local[8] so the 8→32
 # ratio measures throughput, not stage fixed costs (8B rows at x64)
