@@ -23,6 +23,7 @@ SHOW = [
     "join_range_bucketed",    # interval join as hash equi-join (no NL)
     "agg_salted_skew",        # two-phase salted aggregation
     "dedup_minhash_lsh",      # banded self-join, checkpointed keys
+    "dedup_winnow_pairs",     # fingerprint equi-join, DF-capped, partial agg
     "text_winnow_fingerprint",  # one exchange + one sort for two windows
     "stream_session_batch",   # session_window aggregation
 ]

@@ -1,0 +1,107 @@
+"""Corpus-curation operators for training-data mixtures (task brief:
+"the operations a large-scale training-data pipeline would need"):
+per-source quality-ranked selection and keep-best-per-duplicate-cluster.
+Both are pure built-ins (whole-stage codegen) and fully SQL-expressible,
+so the driver hash-checks them end-to-end.
+
+Scale notes: `curation_select` shuffles once on `source` and windows
+inside each source partition — exact semantics, oracle-checkable. At
+extreme scale (a source with 10^10 docs) the same selection is done with
+a mergeable per-source quantile sketch as the score threshold
+(`agg_approx_percentile` demonstrates that aggregation shape); the
+window form here is the exact reference semantics the sketch variant
+approximates. `dedup_keep_best` joins cluster labels (small: only docs
+that appear in a near-dup pair) against per-doc scores and reduces with
+a map-side-combinable max_by aggregation — no window sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.io import read_table
+from .dedup import neardup_clusters, sql_neardup_clusters
+
+# the curation score: distinct-token ratio, rounded to 6 places on both
+# engines (the repo-wide cross-engine rounding rule, plans/queries.py)
+_SCORE = "ROUND(CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)" \
+         " / LEN(STRING_SPLIT(text, ' ')), 6)"
+
+
+def _score_col():
+    words = F.split(F.col("text"), " ")
+    return F.round(
+        F.size(F.array_distinct(words)).cast("double")
+        / F.size(words).cast("double"), 6)
+
+
+def curation_select(spark: SparkSession, sf_dir: str,
+                    frac: float = 0.5) -> DataFrame:
+    """Per-source quality-ranked selection: keep the top ``frac`` of each
+    source's documents by distinct-token ratio (ties broken by doc_id) —
+    the downsample-overrepresented-strata primitive of mixture curation,
+    with an exact per-source quota (ceil(n_src * frac)) rather than a
+    Bernoulli rate, so the output is deterministic and oracle-equal."""
+    d = read_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", "source", _score_col().alias("q_score"))
+    w = Window.partitionBy("source").orderBy(F.desc("q_score"),
+                                             F.asc("doc_id"))
+    wc = Window.partitionBy("source")
+    return (base
+            .withColumn("src_rank", F.row_number().over(w).cast("bigint"))
+            .withColumn("n_src", F.count("*").over(wc))
+            .filter(F.col("src_rank")
+                    <= F.ceil(F.col("n_src") * F.lit(frac)))
+            .select("doc_id", "source", "q_score", "src_rank"))
+
+
+def sql_curation_select(frac: float = 0.5) -> str:
+    return f"""
+WITH scored AS (
+  SELECT doc_id, source, {_SCORE} AS q_score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                 ORDER BY {_SCORE} DESC, doc_id) AS BIGINT)
+           AS src_rank,
+         COUNT(*) OVER (PARTITION BY source) AS n_src
+  FROM documents
+)
+SELECT doc_id, source, q_score, src_rank
+FROM scored WHERE src_rank <= CEIL(n_src * {frac})
+"""
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str, n: int = 2,
+                    threshold: float = 0.2) -> DataFrame:
+    """Keep-one-per-near-dup-cluster, quality-aware: for every cluster
+    from :func:`~.dedup.neardup_clusters`, retain the highest-scoring
+    document (tie → lowest doc_id). The reduction is a max_by over a
+    (score, -doc_id) struct — a map-side-combinable aggregation, not a
+    window sort (same rule as linking's top-1, linking.py)."""
+    clusters = neardup_clusters(spark, sf_dir, n=n, threshold=threshold)
+    d = read_table(spark, sf_dir, "documents")
+    scores = d.select("doc_id", _score_col().alias("q_score"))
+    joined = clusters.join(scores, "doc_id")
+    key = F.struct(F.col("q_score"), (-F.col("doc_id")).alias("nd"))
+    return (joined.groupBy("cluster_id")
+            .agg(F.max_by("doc_id", key).alias("keep_doc_id"),
+                 F.max("q_score").alias("best_score"),
+                 F.count("*").alias("n_docs")))
+
+
+def sql_dedup_keep_best(n: int = 2, threshold: float = 0.2) -> str:
+    clusters = sql_neardup_clusters(n=n, threshold=threshold)
+    return f"""
+WITH clusters AS ({clusters}),
+scored AS (
+  SELECT c.cluster_id, c.doc_id, {_SCORE} AS q_score,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY {_SCORE} DESC, c.doc_id) AS rn
+  FROM clusters c JOIN documents USING (doc_id)
+)
+SELECT cluster_id,
+       MAX(CASE WHEN rn = 1 THEN doc_id END) AS keep_doc_id,
+       MAX(q_score) AS best_score,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM scored GROUP BY cluster_id
+"""

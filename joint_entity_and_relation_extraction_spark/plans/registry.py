@@ -11,6 +11,7 @@ from functools import partial
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import curation as CU
 from ..operators import dedup as DD
 from ..operators import extract as X
 from ..operators import multimodal as MM
@@ -154,6 +155,8 @@ ANALYTICS_QUERIES = {
     "mm_frame_sample": MM.frame_sample,
     "grouped_map_sessionize": PO.sessionize_events,
     "udaf_weighted_avg": PO.weighted_avg_by_type,
+    "curation_select": partial(CU.curation_select, frac=0.5),
+    "dedup_keep_best": partial(CU.dedup_keep_best, n=2, threshold=0.2),
 }
 
 ANALYTICS_ORACLE = {
@@ -170,6 +173,8 @@ ANALYTICS_ORACLE = {
     "text_fingerprint": TS.SQL_FINGERPRINT,
     "grouped_map_sessionize": PO.SQL_SESSIONIZE,
     "udaf_weighted_avg": PO.SQL_WEIGHTED_AVG,
+    "curation_select": CU.sql_curation_select(frac=0.5),
+    "dedup_keep_best": CU.sql_dedup_keep_best(n=2, threshold=0.2),
     # minhash/simhash/lsh/langid_predict/mm_*: signature-based or
     # model-backed — rows-only (plus pytest property gates on recall)
 }

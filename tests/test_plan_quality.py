@@ -92,6 +92,19 @@ def test_range_bucketed_join_is_equi_not_nested_loop(spark):
     assert "HashJoin" in p or "SortMergeJoin" in p
 
 
+def test_winnow_pairs_plan_is_equi_join_with_partial_agg(spark):
+    """The winnowing pair generation must plan as a hash/merge EQUI-join
+    on fp_hash (the d1<d2 dedup is a join condition, not a nested loop)
+    with map-side partial aggregation on the shared-fingerprint count —
+    the shape that keeps it O(n·max_df) at corpus scale."""
+    from joint_entity_and_relation_extraction_spark.operators import dedup as DD
+
+    p = plan_str(DD.winnow_pairs(spark, SF001))
+    assert "NestedLoop" not in p and "Cartesian" not in p
+    assert "HashJoin" in p or "SortMergeJoin" in p
+    assert "partial_count" in p  # map-side combine before the pair shuffle
+
+
 def test_salted_agg_has_two_phases(spark):
     from joint_entity_and_relation_extraction_spark.operators import skew as SK
 
