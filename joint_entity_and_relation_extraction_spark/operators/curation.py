@@ -71,6 +71,53 @@ FROM scored WHERE src_rank <= CEIL(n_src * {frac})
 """
 
 
+def pack_sequences(spark: SparkSession, sf_dir: str,
+                   budget: int = 2048) -> DataFrame:
+    """Concat-and-chunk sequence packing — the standard LLM-pretraining
+    batching move: documents are laid out in a deterministic order
+    (doc_id) within each language shard, and a document belongs to the
+    pack its START offset falls in (floor(start / budget)), exactly how
+    a tokenized stream is split into fixed-length training windows.
+    Output: (doc_id, lang, n_tokens, start_offset, pack_id).
+
+    Scale shape: one shuffle on the shard key + a running-sum window
+    inside each shard. At 100 TB the shard key is (lang, file-partition)
+    so no single window partition holds the corpus; the per-shard
+    prefix-sum is the only sequential dependency, which is the same
+    trade every packing implementation makes."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    base = d.select("doc_id", "lang", toks.alias("n_tokens"))
+    w = (Window.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return (base
+            .withColumn("start_offset", start.cast("bigint"))
+            .withColumn("pack_id",
+                        F.floor(F.col("start_offset")
+                                / F.lit(float(budget))).cast("bigint")))
+
+
+def sql_pack_sequences(budget: int = 2048) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+offs AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING)
+              - n_tokens AS BIGINT) AS start_offset
+  FROM t
+)
+SELECT doc_id, lang, n_tokens, start_offset,
+       CAST(FLOOR(start_offset / {float(budget)}) AS BIGINT) AS pack_id
+FROM offs
+"""
+
+
 def dedup_keep_best(spark: SparkSession, sf_dir: str, n: int = 2,
                     threshold: float = 0.2) -> DataFrame:
     """Keep-one-per-near-dup-cluster, quality-aware: for every cluster

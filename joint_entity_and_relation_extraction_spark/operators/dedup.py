@@ -464,6 +464,40 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str,
     )
 
 
+def embedding_clusters(spark: SparkSession, sf_dir: str,
+                       threshold: float = 0.3) -> DataFrame:
+    """SEMANTIC near-dup clusters: embedding-cosine pairs → connected
+    components → (vec_id, cluster_id = min vec_id in the component). The
+    semantic counterpart of :func:`neardup_clusters` — the keep-one-per-
+    meaning primitive (paraphrase/translation dedup, where no token-level
+    blocker fires). Same CC machinery, same recursive-CTE oracle shape."""
+    from .canonicalize import connected_components
+
+    pairs = embedding_neardup_pairs(spark, sf_dir, threshold=threshold)
+    edges = pairs.select(F.col("v1").alias("src"), F.col("v2").alias("dst"))
+    labels = connected_components(edges)
+    return labels.select(F.col("node").alias("vec_id"),
+                         F.col("component").alias("cluster_id"))
+
+
+def sql_embedding_clusters(threshold: float = 0.3) -> str:
+    pairs = sql_embedding_neardup(threshold)
+    return f"""
+WITH RECURSIVE emb AS ({pairs}),
+edges AS (
+  SELECT v1 AS u, v2 AS v FROM emb
+  UNION SELECT v2, v1 FROM emb
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS vec_id, LEAST(u, MIN(v)) AS cluster_id
+FROM reach GROUP BY u
+"""
+
+
 def sql_embedding_neardup(threshold: float = 0.3) -> str:
     return f"""
 WITH norms AS (

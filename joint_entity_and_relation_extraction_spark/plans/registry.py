@@ -157,6 +157,8 @@ ANALYTICS_QUERIES = {
     "udaf_weighted_avg": PO.weighted_avg_by_type,
     "curation_select": partial(CU.curation_select, frac=0.5),
     "dedup_keep_best": partial(CU.dedup_keep_best, n=2, threshold=0.2),
+    "pack_sequences": partial(CU.pack_sequences, budget=2048),
+    "dedup_embedding_clusters": partial(DD.embedding_clusters, threshold=0.3),
 }
 
 ANALYTICS_ORACLE = {
@@ -175,6 +177,8 @@ ANALYTICS_ORACLE = {
     "udaf_weighted_avg": PO.SQL_WEIGHTED_AVG,
     "curation_select": CU.sql_curation_select(frac=0.5),
     "dedup_keep_best": CU.sql_dedup_keep_best(n=2, threshold=0.2),
+    "pack_sequences": CU.sql_pack_sequences(budget=2048),
+    "dedup_embedding_clusters": DD.sql_embedding_clusters(threshold=0.3),
     # minhash/simhash/lsh/langid_predict/mm_*: signature-based or
     # model-backed — rows-only (plus pytest property gates on recall)
 }
