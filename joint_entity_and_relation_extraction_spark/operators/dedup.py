@@ -281,6 +281,61 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, n: int = 2,
     )
 
 
+def band_index(docs: DataFrame, n: int = 2) -> DataFrame:
+    """(doc_id, band, key) banded-minhash index rows for a corpus slice —
+    the table you PERSIST (e.g. an IcebergLite table partitioned by
+    band) so later batches dedup against the corpus without
+    re-signaturing it. Band keys are doc-local (independent of what else
+    is in the corpus), which is what makes the index incrementally
+    appendable."""
+    d = docs.select("doc_id", _shingles_expr(n).alias("sh"))
+    return d.select(
+        "doc_id",
+        F.posexplode(minhash_bands_udf(F.expr(_HASHED_SHINGLES))).alias(
+            "band", "key"))
+
+
+def minhash_incremental_pairs(spark: SparkSession, sf_dir: str, n: int = 2,
+                              threshold: float = 0.2,
+                              mod: int = 5) -> DataFrame:
+    """INCREMENTAL minhash dedup — the production ingest shape: at 100 TB
+    you never re-dedup the whole corpus; a new batch signatures only its
+    own documents, probes the persisted band index, and appends its own
+    band rows. This self-contained witness splits ``documents`` into an
+    existing corpus (doc_id % mod != 0) and a new batch (== 0), builds
+    the index for the existing slice, and returns every near-dup pair
+    that TOUCHES the new batch: new-vs-corpus via the index probe join,
+    new-vs-new via the batch's own bands. Because band keys are
+    doc-local, the result equals the full-corpus
+    :func:`minhash_lsh_pairs` restricted to pairs involving a new doc —
+    pinned by pytest (test_dedup_similarity)."""
+    docs = read_table(spark, sf_dir, "documents")
+    is_new = (F.col("doc_id") % mod) == 0
+    old_idx = band_index(docs.filter(~is_new), n).localCheckpoint(eager=False)
+    new_idx = band_index(docs.filter(is_new), n).localCheckpoint(eager=False)
+    probe_side = old_idx.union(new_idx)
+    a, b = new_idx.alias("a"), probe_side.alias("b")
+    cand_ids = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .select(F.least("a.doc_id", "b.doc_id").alias("d1"),
+                F.greatest("a.doc_id", "b.doc_id").alias("d2"))
+        .dropDuplicates(["d1", "d2"])
+    )
+    sh = docs.select("doc_id", _shingles_expr(n).alias("sh"))
+    s1 = sh.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
+    s2 = sh.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
+    cand = cand_ids.join(s1, "d1").join(s2, "d2")
+    inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
+    union = (F.size("sh1") + F.size("sh2")).cast("double") - inter
+    return (
+        cand.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
+    )
+
+
 # --- SimHash ----------------------------------------------------------------
 
 SIMHASH_BITS = 64

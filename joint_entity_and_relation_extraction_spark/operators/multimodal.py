@@ -157,6 +157,76 @@ def _frame_batches(max_frames: int):
     return gen
 
 
+# --- audio window segmentation (task brief: image/audio/video decode /
+#     feature-extract as Pandas UDFs — the audio member of the triple) ------
+
+AUDIO_WINDOW_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("sample_rate", IntegerType(), False),
+    StructField("n_windows", IntegerType(), False),
+    StructField("win_idx", IntegerType(), False),
+    StructField("t_ms", LongType(), False),
+    StructField("win_sha", StringType(), False),
+])
+
+
+def probe_audio_real(data: bytes) -> tuple[int, int]:
+    """Real audio-probe slot (sample_rate, n_samples) — needs
+    soundfile/ffmpeg, absent from this container (SURVEY.md §0.4)."""
+    raise NotImplementedError(
+        "audio probe requires soundfile/ffmpeg (not in sandbox); "
+        "the pipeline uses the deterministic fake below")
+
+
+def _fake_audio_probe(data: bytes) -> tuple[int, int]:
+    """Deterministic stand-in with the real probe's output shape."""
+    digest = hashlib.sha256(data).digest()
+    rate = (8000, 16000, 22050, 44100)[digest[0] % 4]
+    n_samples = rate * (1 + digest[1] % 29)  # 1s..29s clips
+    return rate, n_samples
+
+
+def _audio_window_batches(win_ms: int, max_windows: int):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in
+                                     ("url", "sample_rate", "n_windows",
+                                      "win_idx", "t_ms", "win_sha")}
+            for url, blob in zip(pdf["url"], pdf["html"]):
+                data = bytes(blob)
+                rate, n_samples = _fake_audio_probe(data)
+                total = max(1, -(-n_samples * 1000 // (rate * win_ms)))
+                k = min(max_windows, total)
+                # evenly spaced window sample, first window always
+                # included — the segment-for-ASR-training shape
+                idxs = sorted({int(i * total / k) for i in range(k)})
+                for wi in idxs:
+                    rows["url"].append(url)
+                    rows["sample_rate"].append(rate)
+                    rows["n_windows"].append(int(total))
+                    rows["win_idx"].append(wi)
+                    rows["t_ms"].append(wi * win_ms)
+                    rows["win_sha"].append(hashlib.sha256(
+                        data + wi.to_bytes(4, "big") + b"a").hexdigest()[:16])
+            yield pd.DataFrame(rows)
+    return gen
+
+
+def audio_windows(spark: SparkSession, sf_dir: str, win_ms: int = 1000,
+                  max_windows: int = 8) -> DataFrame:
+    """Audio segmentation as a 1→many mapInPandas expansion: each binary
+    blob probes to (sample_rate, n_samples) and emits ≤max_windows evenly
+    spaced fixed-length window rows with timestamps and per-window
+    content ids — the audio member of the image/audio/video plumbing
+    triple (media_features / audio_windows / frame_sample). The probe is
+    the honestly-stubbed slot (:func:`probe_audio_real`); the Spark-side
+    schema, Arrow fan-out, and scalar (canon-hashable) output are real
+    and tested."""
+    wp = web_pages(spark, sf_dir).select("url", "html")
+    return wp.mapInPandas(_audio_window_batches(win_ms, max_windows),
+                          schema=AUDIO_WINDOW_SCHEMA)
+
+
 def frame_sample(spark: SparkSession, sf_dir: str,
                  max_frames: int = 8) -> DataFrame:
     """Video frame sampling as a 1→many mapInPandas expansion: each

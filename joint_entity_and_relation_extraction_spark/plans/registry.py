@@ -150,9 +150,12 @@ ANALYTICS_QUERIES = {
     "text_fingerprint": TS.fingerprint,
     "text_winnow_fingerprint": TS.winnow_fingerprint,
     "dedup_winnow_pairs": partial(DD.winnow_pairs, k=5, w=8, min_common=2),
+    "dedup_minhash_incremental": partial(DD.minhash_incremental_pairs,
+                                         n=2, threshold=0.2),
     "mm_binary_metadata": MM.binary_metadata,
     "mm_media_features": MM.media_features,
     "mm_frame_sample": MM.frame_sample,
+    "mm_audio_windows": MM.audio_windows,
     "grouped_map_sessionize": PO.sessionize_events,
     "udaf_weighted_avg": PO.weighted_avg_by_type,
     "curation_select": partial(CU.curation_select, frac=0.5),

@@ -375,3 +375,17 @@ def test_ann_ivf_recall_holds_with_sampled_training(spark, clustered_dir):
     assert shared >= 10
     with pytest.raises(ValueError, match="train_fraction"):
         SIM.ivf_centroids(spark, clustered_dir, train_fraction=0.0)
+
+
+def test_minhash_incremental_equals_full_restricted(spark):
+    """Incremental dedup (new batch probes the persisted band index) must
+    find EXACTLY the full-corpus LSH pairs that touch a new-batch doc:
+    band keys are doc-local, so indexing incrementally loses nothing."""
+    full = {(r.d1, r.d2): r.jaccard for r in
+            DD.minhash_lsh_pairs(spark, SF001, n=2, threshold=0.2).collect()}
+    want = {p: j for p, j in full.items() if p[0] % 5 == 0 or p[1] % 5 == 0}
+    got = {(r.d1, r.d2): r.jaccard for r in
+           DD.minhash_incremental_pairs(
+               spark, SF001, n=2, threshold=0.2, mod=5).collect()}
+    assert got == want
+    assert len(full) > len(want)  # corpus-only pairs correctly excluded

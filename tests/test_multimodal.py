@@ -50,3 +50,28 @@ def test_real_decode_slots_are_honest_stubs():
         MM.decode_image_real(b"xx")
     with pytest.raises(NotImplementedError):
         MM.probe_video_real(b"xx")
+
+
+def test_audio_windows_deterministic_and_bounded(spark):
+    a = MM.audio_windows(spark, SF0001, win_ms=1000, max_windows=6).collect()
+    b = MM.audio_windows(spark, SF0001, win_ms=1000, max_windows=6).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic
+    by_url: dict = {}
+    for r in a:
+        by_url.setdefault(r.url, []).append(r)
+    for url, rs in by_url.items():
+        total = rs[0].n_windows
+        assert 1 <= len(rs) <= 6
+        idxs = sorted(r.win_idx for r in rs)
+        assert idxs[0] == 0                      # first window included
+        assert all(0 <= i < total for i in idxs)
+        assert all(r.t_ms == r.win_idx * 1000 for r in rs)
+        assert all(r.sample_rate in (8000, 16000, 22050, 44100) for r in rs)
+        assert len({r.win_sha for r in rs}) == len(rs)  # per-window ids
+
+
+def test_audio_probe_slot_is_honest_stub():
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        MM.probe_audio_real(b"xx")
