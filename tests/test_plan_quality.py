@@ -105,6 +105,19 @@ def test_winnow_pairs_plan_is_equi_join_with_partial_agg(spark):
     assert "partial_count" in p  # map-side combine before the pair shuffle
 
 
+def test_curation_windows_share_one_exchange(spark):
+    """curation_select computes rank AND per-source count over the same
+    partitioning; pack_sequences runs one prefix-sum per lang shard.
+    Each must shuffle its corpus exactly ONCE on the shard key — a
+    second exchange would double the corpus movement at 100 TB."""
+    from joint_entity_and_relation_extraction_spark.operators import curation as CU
+
+    p = plan_str(CU.curation_select(spark, SF001))
+    assert p.count("Exchange hashpartitioning(source") == 1, p[:2000]
+    p = plan_str(CU.pack_sequences(spark, SF001))
+    assert p.count("Exchange hashpartitioning(lang") == 1, p[:2000]
+
+
 def test_salted_agg_has_two_phases(spark):
     from joint_entity_and_relation_extraction_spark.operators import skew as SK
 
