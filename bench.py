@@ -93,6 +93,9 @@ BENCH_QUERIES = [
     "window_topk_per_group", "explode_array", "pivot_event_type",
     "dedup_exact", "dedup_minhash_lsh", "ann_topk_bruteforce",
     "text_token_stats", "kg_extract_text",
+    # r04 additions (new keys only — prior entries untouched so the
+    # per-query series stays comparable across rounds)
+    "dedup_minhash_incremental", "curation_select",
 ]
 
 
