@@ -155,6 +155,87 @@ def extract_to_iceberg(pages: DataFrame, table_root: str,
     )
 
 
+def dedup_index_handler(index_root: str, docs_root: str, pairs_root: str,
+                        n: int = 2, threshold: float = 0.2):
+    """foreachBatch body of the CONTINUOUS incremental-dedup sink: each
+    micro-batch signatures only its own documents, probes the persisted
+    band index for near-dup candidates against everything ingested so
+    far, exact-verifies them, then appends its own band rows / docs /
+    pairs — the 100 TB ingest shape where the corpus is never
+    re-signatured (operators/dedup.py band_index notes).
+
+    Three IcebergLite tables: ``index`` (doc_id, band, key — partitioned
+    by band so probes prune at the manifest), ``docs`` (doc_id, text —
+    the verify side), ``pairs`` (d1, d2, jaccard). Crash-replay safe by
+    VALUE idempotency plus tags: every append carries the batch tag and
+    is skipped if already committed; a replay that finds its own bands
+    already in the index computes the identical pair set (the candidate
+    join unions old and new bands anyway, and d1<d2 dedup removes
+    self-collisions), so partial-crash replays converge instead of
+    double-counting. Each pair is emitted exactly once — in the batch
+    that ingests its LATER document."""
+    from ..operators.dedup import _shingles_expr, band_index
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        tag = f"dedup-{batch_id}"
+        new_docs = (batch_df
+                    .select(F.xxhash64("url").alias("doc_id"), "text")
+                    .dropDuplicates(["doc_id"]))
+        if new_docs.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        new_bands = band_index(new_docs, n).localCheckpoint(eager=False)
+        old_bands = (il.read(spark, index_root) if il.exists(index_root)
+                     else spark.createDataFrame(
+                         [], "doc_id long, band int, key long"))
+        probe = old_bands.select("doc_id", "band", "key").union(
+            new_bands.select("doc_id", "band", "key"))
+        a, b = new_bands.alias("a"), probe.alias("b")
+        cand_ids = (
+            a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.doc_id") != F.col("b.doc_id")))
+            .select(F.least("a.doc_id", "b.doc_id").alias("d1"),
+                    F.greatest("a.doc_id", "b.doc_id").alias("d2"))
+            .dropDuplicates(["d1", "d2"]))
+        corpus = (il.read(spark, docs_root).select("doc_id", "text")
+                  if il.exists(docs_root) else new_docs.limit(0))
+        sh = (corpus.union(new_docs).dropDuplicates(["doc_id"])
+              .select("doc_id", _shingles_expr(n).alias("sh")))
+        s1 = sh.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
+        s2 = sh.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
+        inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
+        union = (F.size("sh1") + F.size("sh2")).cast("double") - inter
+        pairs = (cand_ids.join(s1, "d1").join(s2, "d2")
+                 .withColumn("jaccard", F.round(inter / union, 6))
+                 .filter(F.col("jaccard") >= threshold)
+                 .select("d1", "d2", "jaccard"))
+        # pairs first (guarded), then the corpus-state tables: a crash at
+        # any point replays into the same values, tags skip re-appends
+        for root, df, part in ((pairs_root, pairs, []),
+                               (index_root, new_bands, ["band"]),
+                               (docs_root, new_docs, [])):
+            if tag not in il.committed_tags(root) and not df.isEmpty():
+                il.append(df.withColumn("batch_id", F.lit(batch_id)),
+                          root, part, tag=tag)
+
+    return handle
+
+
+def dedup_stream(pages: DataFrame, index_root: str, docs_root: str,
+                 pairs_root: str, checkpoint_dir: str, n: int = 2,
+                 threshold: float = 0.2):
+    """Continuous incremental dedup: stream → foreachBatch probe+append
+    against the persisted band index (see :func:`dedup_index_handler`)."""
+    return (
+        pages.writeStream.foreachBatch(
+            dedup_index_handler(index_root, docs_root, pairs_root,
+                                n=n, threshold=threshold))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
 def stateful_domain_sessions(pages: DataFrame, gap: str = "10 minutes",
                              watermark: str = "20 minutes") -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState`` (task brief:

@@ -226,3 +226,105 @@ def test_tws_domain_stats_accumulates_across_batches(spark, clean_chunks):
     sizes = got.groupBy("domain").agg(
         F.countDistinct("n_pages").alias("k")).collect()
     assert all(r.k > 1 for r in sizes)
+
+
+def test_streaming_incremental_dedup_converges_to_batch(spark, tmp_path):
+    """Continuous incremental dedup (foreachBatch band-index probe +
+    append): after streaming chunk files one per trigger — with near-dup
+    copies injected ACROSS chunks, so pairs can only be found by probing
+    the persisted index — the pairs table must equal the batch
+    minhash-LSH pair set over the whole corpus, the index must have
+    grown across multiple snapshots, and replaying a batch by hand must
+    change nothing (crash-replay idempotency)."""
+    import datetime
+    import os
+
+    import pandas as pd
+
+    from joint_entity_and_relation_extraction_spark.operators import dedup as DD
+    from joint_entity_and_relation_extraction_spark.operators.dedup import (
+        band_index)
+    from joint_entity_and_relation_extraction_spark.sources import (
+        iceberglite as il)
+
+    docs = pd.read_parquet(os.path.join(SF0001, "documents.parquet"))
+    ts = datetime.datetime(2024, 1, 1)
+
+    def rows(frame, tag):
+        return pd.DataFrame({
+            "url": [f"https://{tag}-{i}.test/p" for i in frame.index],
+            "warc_ts": [ts] * len(frame),
+            "html": [t.encode() for t in frame.text],
+            "text": list(frame.text),
+            "lang": list(frame.lang),
+        })
+
+    def neardup(frame, tag):
+        """Copies whose first word is edited — high Jaccard, new urls."""
+        out = rows(frame, tag)
+        out["text"] = ["edited" + t[t.index(" "):] for t in out.text]
+        out["html"] = [t.encode() for t in out.text]
+        return out
+
+    d = str(tmp_path / "chunks")
+    os.makedirs(d)
+    c0 = rows(docs.iloc[0:80], "c0")
+    # chunk1 carries near-dups of chunk0 docs (cross-batch: only the
+    # index probe can find them) plus fresh docs
+    c1 = pd.concat([rows(docs.iloc[80:160], "c1"),
+                    neardup(docs.iloc[0:6], "c1dup")])
+    # chunk2: near-dups of chunk1 docs + a within-chunk dup pair
+    c2 = pd.concat([rows(docs.iloc[160:240], "c2"),
+                    neardup(docs.iloc[80:86], "c2dup"),
+                    neardup(docs.iloc[200:203], "c2self")])
+    for i, c in enumerate((c0, c1, c2)):
+        c.to_parquet(os.path.join(d, f"{i:02d}.parquet"),
+                     coerce_timestamps="us")
+
+    roots = {k: str(tmp_path / k) for k in ("index", "docs", "pairs")}
+    stream = S.read_page_stream(spark, d, max_files_per_trigger=1)
+    q = S.dedup_stream(stream, roots["index"], roots["docs"],
+                       roots["pairs"], str(tmp_path / "ckpt")).start()
+    q.awaitTermination(180)
+
+    batch = (spark.read.parquet(d)
+             .select(F.xxhash64("url").alias("doc_id"), "text")
+             .dropDuplicates(["doc_id"]))
+    # batch reference: same band join + verify over the full corpus
+    bands = band_index(batch).localCheckpoint(eager=False)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("d1"),
+                    F.col("b.doc_id").alias("d2"))
+            .dropDuplicates(["d1", "d2"]))
+    sh = batch.select("doc_id", DD._shingles_expr(2).alias("sh"))
+    s1 = sh.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
+    s2 = sh.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
+    union = (F.size("sh1") + F.size("sh2")).cast("double") - inter
+    want = {(r.d1, r.d2, r.jaccard) for r in
+            (cand.join(s1, "d1").join(s2, "d2")
+             .withColumn("jaccard", F.round(inter / union, 6))
+             .filter(F.col("jaccard") >= 0.2)
+             .select("d1", "d2", "jaccard")).collect()}
+    assert len(want) >= 10  # the injected near-dups are actually found
+
+    got_df = il.read(spark, roots["pairs"]).select("d1", "d2", "jaccard")
+    got = {(r.d1, r.d2, r.jaccard) for r in got_df.collect()}
+    assert got == want
+    assert got_df.count() == len(got)  # each pair appended exactly once
+    # incremental evidence: the index grew snapshot by snapshot
+    assert len(il.snapshots(roots["index"])) == 3
+    assert il.read(spark, roots["index"]).select("doc_id").distinct().count() \
+        == batch.count()
+    # crash-replay: rerun the last chunk by hand with its batch_id — tags
+    # skip the appends, values converge, nothing double-counts
+    last_tag = sorted(il.committed_tags(roots["pairs"]))[-1]
+    last_id = int(last_tag.rsplit("-", 1)[-1])
+    replay = spark.read.parquet(os.path.join(d, "02.parquet"))
+    S.dedup_index_handler(roots["index"], roots["docs"],
+                          roots["pairs"])(replay, last_id)
+    assert il.read(spark, roots["pairs"]).count() == len(got)
+    assert len(il.snapshots(roots["index"])) == 3
