@@ -280,3 +280,80 @@ def ann_ivf(spark: SparkSession, sf_dir: str, n_queries: int = 8,
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
     )
+
+
+# --- persisted IVF index (the on-disk 10^12-row shape) ----------------------
+
+def ivf_build_index(spark: SparkSession, sf_dir: str, index_root: str,
+                    nlist: int = NLIST, iters: int = KMEANS_ITERS,
+                    train_fraction: float = 1.0) -> np.ndarray:
+    """Materialize the IVF index the way ann_ivf's docstring promises for
+    extreme scale: corpus vectors (with precomputed norms) land in an
+    IcebergLite table PARTITIONED BY list_id — the inverted lists ARE the
+    partition layout — and the centroid matrix is committed alongside as
+    a tiny companion table so probe time needs no recompute. Probes then
+    prune at the manifest: only the nprobe probed lists' files are ever
+    listed (test_dedup_similarity pins inputFiles ⊆ probed lists)."""
+    from ..sources import iceberglite as il
+
+    cent = ivf_centroids(spark, sf_dir, nlist=nlist, iters=iters,
+                         train_fraction=train_fraction)
+    e = _with_norm(read_table(spark, sf_dir, "embeddings")).withColumn(
+        "list_id", _assign_udf(cent)(F.col("embedding")))
+    il.append(e, index_root, ["list_id"])
+    cdf = spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(cent)],
+        "list_id int, centroid array<double>")
+    il.append(cdf, index_root + "-centroids", [])
+    return cent
+
+
+def ann_ivf_persisted(spark: SparkSession, sf_dir: str, index_root: str,
+                      n_queries: int = 8, k: int = 5,
+                      nprobe: int = NPROBE) -> DataFrame:
+    """Top-k probe against a PERSISTED IVF index: centroids reload from
+    the companion table (nlist × dim — driver-sized by construction),
+    each query's nprobe nearest lists are computed on the driver, and the
+    corpus scan reads ONLY those lists via IcebergLite manifest pruning —
+    at 10^12 rows the scan touches nprobe/nlist of the files before any
+    Spark plan exists. Ranking semantics identical to :func:`ann_ivf`
+    (parity-tested when both use the same training configuration)."""
+    from ..sources import iceberglite as il
+
+    crows = il.read(spark, index_root + "-centroids").collect()
+    dim = len(crows[0].centroid)
+    cent = np.zeros((len(crows), dim))
+    for r in crows:
+        cent[r.list_id] = r.centroid
+    base = read_table(spark, sf_dir, "embeddings")
+    qrows = (base.select("vec_id", "embedding")
+             .orderBy("vec_id").limit(n_queries).collect())
+    probe_rows = []
+    cnorm = np.sqrt((cent * cent).sum(axis=1))
+    for r in qrows:
+        qv = np.asarray(r.embedding, dtype=np.float64)
+        sims = (cent @ qv) / (cnorm * np.sqrt(qv @ qv) + 1e-12)
+        for lid in np.argsort(-sims)[:nprobe]:
+            probe_rows.append((r.vec_id, int(lid)))
+    probed_lists = sorted({lid for _, lid in probe_rows})
+    # manifest pruning happens HERE: non-probed lists are never listed
+    e = il.read(spark, index_root, where={"list_id": probed_lists})
+    spark_ = spark
+    probes = F.broadcast(spark_.createDataFrame(
+        probe_rows, "qid long, list_id long"))
+    q = F.broadcast(
+        _with_norm(base)
+        .join(F.broadcast(_query_ids(base, n_queries)), "vec_id")
+        .select(F.col("vec_id").alias("qid"),
+                F.col("embedding").alias("qe"),
+                F.col("norm").alias("qnorm")))
+    cand = (e.join(probes, "list_id").join(q, "qid")
+            .filter(F.col("qid") != F.col("vec_id")))
+    cos = F.round(_dot(F.col("qe"), F.col("embedding"))
+                  / (F.col("qnorm") * F.col("norm")), 6)
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        cand.select("qid", F.col("vec_id").alias("nid"), cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )

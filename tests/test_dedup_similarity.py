@@ -389,3 +389,46 @@ def test_minhash_incremental_equals_full_restricted(spark):
                spark, SF001, n=2, threshold=0.2, mod=5).collect()}
     assert got == want
     assert len(full) > len(want)  # corpus-only pairs correctly excluded
+
+
+def test_ivf_persisted_index_prunes_and_matches(spark, tmp_path):
+    """The persisted IVF index (IcebergLite partitioned by list_id) must
+    (a) answer identically to the in-session ann_ivf under the same
+    training configuration, and (b) physically scan ONLY the probed
+    lists — manifest pruning keeps every other inverted list's files out
+    of the plan, the property that makes nprobe/nlist the scan fraction
+    at corpus scale."""
+    from joint_entity_and_relation_extraction_spark.sources import (
+        iceberglite as il)
+
+    root = str(tmp_path / "ivf")
+    SIM.ivf_build_index(spark, SF0001, root)
+    got_df = SIM.ann_ivf_persisted(spark, SF0001, root, n_queries=6, k=5)
+    got = {tuple(r) for r in got_df.collect()}
+    want = {tuple(r) for r in
+            SIM.ann_ivf(spark, SF0001, n_queries=6, k=5).collect()}
+    assert got == want and got
+    # pruning: the pruned scan lists files only under probed list dirs
+    crows = il.read(spark, root + "-centroids").collect()
+    import numpy as np
+
+    from joint_entity_and_relation_extraction_spark.sources.io import (
+        read_table)
+
+    cent = np.zeros((len(crows), len(crows[0].centroid)))
+    for r in crows:
+        cent[r.list_id] = r.centroid
+    base = read_table(spark, SF0001, "embeddings")
+    qrows = (base.select("vec_id", "embedding")
+             .orderBy("vec_id").limit(6).collect())
+    cnorm = np.sqrt((cent * cent).sum(axis=1))
+    probed = set()
+    for r in qrows:
+        qv = np.asarray(r.embedding, dtype=np.float64)
+        sims = (cent @ qv) / (cnorm * np.sqrt(qv @ qv) + 1e-12)
+        probed |= {int(l) for l in np.argsort(-sims)[:SIM.NPROBE]}
+    assert len(probed) < SIM.NLIST  # pruning is actually non-trivial
+    files = il.read(spark, root, where={"list_id": sorted(probed)}).inputFiles()
+    assert files
+    for f in files:
+        assert any(f"list_id={l}/" in f for l in probed), f
