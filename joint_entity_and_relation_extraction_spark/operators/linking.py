@@ -84,11 +84,19 @@ def surface_feats_udf(norm: pd.Series) -> pd.DataFrame:
     """Fused per-surface features (LSH band keys + char shingles + node
     id) — one Python stage crossing instead of three; the surface tables
     are tiny but each extra UDF stage costs a fixed scheduler+Arrow round
-    trip that dominates the pipeline's latency floor."""
+    trip that dominates the pipeline's latency floor.
+
+    Batch-vectorized (r04): on a mutated/real corpus the distinct-surface
+    table scales with the corpus (317k surfaces at sf0.1 x64), and the
+    old per-row AG.band_keys (python FNV per shingle + a small numpy
+    matrix per surface) made this the pipeline's second-largest stage.
+    AG.surface_feats_batch computes identical values over the whole
+    Arrow batch (parity-pinned in test_linking)."""
+    keys, sh_lists, nodes = AG.surface_feats_batch(norm.tolist())
     return pd.DataFrame({
-        "bands": norm.map(AG.band_keys),
-        "sh": norm.map(AG.char_shingles),
-        "node": norm.map(AG.surface_node_id),
+        "bands": [k.tolist() for k in keys],
+        "sh": sh_lists,
+        "node": nodes,
     })
 
 

@@ -143,3 +143,25 @@ def test_canonical_triples_pr_gate(spark, spark_links, oracle_full):
     assert precision >= 0.95 and recall >= 0.95, (precision, recall)
     assert precision == 1.0 and recall == 1.0
     assert len(got) > 100
+
+
+def test_surface_feats_batch_matches_per_row_reference():
+    """The batch-vectorized surface kernel (r04: linking was the
+    pipeline's second-largest stage via per-row python FNV) must be
+    BIT-identical to the per-row reference the oracle uses — band keys,
+    shingles, and node ids, including unicode and degenerate inputs."""
+    import random as _r
+
+    rng = _r.Random(13)
+    alpha = "abcdefghijklmnopqrstuvwxyz éüñ中文 "
+    norms = ["", "a", "ab", "abc", "résumé café", "中文 文本"]
+    norms += ["".join(rng.choice(alpha) for _ in range(rng.randrange(1, 40)))
+              for _ in range(2000)]
+    keys, sh_lists, nodes = AG.surface_feats_batch(norms)
+    for i, s in enumerate(norms):
+        assert keys[i].tolist() == AG.band_keys(s), s
+        assert sh_lists[i] == AG.char_shingles(s), s
+        assert int(nodes[i]) == AG.surface_node_id(s), s
+    # empty batch degenerates cleanly
+    k0, s0, n0 = AG.surface_feats_batch([])
+    assert k0.shape == (0, AG.LSH_BANDS) and s0 == [] and n0.size == 0
