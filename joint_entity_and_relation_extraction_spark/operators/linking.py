@@ -57,21 +57,6 @@ def alias_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="alias_norm string, entity_id long, prior double")
 
 
-@F.pandas_udf(ArrayType(LongType()))
-def band_keys_udf(norm: pd.Series) -> pd.Series:
-    return norm.map(AG.band_keys)
-
-
-@F.pandas_udf(ArrayType(StringType()))
-def char_shingles_udf(norm: pd.Series) -> pd.Series:
-    return norm.map(AG.char_shingles)
-
-
-@F.pandas_udf(LongType())
-def surface_node_udf(norm: pd.Series) -> pd.Series:
-    return norm.map(AG.surface_node_id)
-
-
 _SURFACE_FEATS_T = StructType([
     StructField("bands", ArrayType(LongType()), False),
     StructField("sh", ArrayType(StringType()), False),
