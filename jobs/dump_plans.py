@@ -24,6 +24,8 @@ SHOW = [
     "agg_salted_skew",        # two-phase salted aggregation
     "dedup_minhash_lsh",      # banded self-join, checkpointed keys
     "dedup_winnow_pairs",     # fingerprint equi-join, DF-capped, partial agg
+    "curation_select",        # two windows over ONE source exchange
+    "pack_sequences",         # per-shard prefix-sum packing, one exchange
     "text_winnow_fingerprint",  # one exchange + one sort for two windows
     "stream_session_batch",   # session_window aggregation
 ]

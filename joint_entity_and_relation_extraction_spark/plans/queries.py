@@ -311,6 +311,32 @@ WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
 """
 
 
+def q_window_ntile_percent(spark, sf):
+    """Distribution window functions (ntile, percent_rank, cume_dist):
+    the quantile-bucket / percentile-position primitives for per-stratum
+    score normalization in corpus curation. percent_rank/cume_dist round
+    to 6 dp on both engines (cross-engine float rule, top of file)."""
+    c = read_table(spark, sf, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_mktsegment", "c_custkey",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank_r6"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist_r6"),
+    )
+
+
+SQL_WINDOW_NTILE_PERCENT = """
+SELECT c_mktsegment, c_custkey,
+       NTILE(4) OVER w AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank_r6,
+       ROUND(CUME_DIST() OVER w, 6) AS cume_dist_r6
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+"""
+
+
 def q_window_lag_lead(spark, sf):
     e = read_table(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1242,6 +1268,7 @@ RELATIONAL_QUERIES = {
     "join_semi": q_join_semi,
     "agg_rollup": q_agg_rollup,
     "agg_cube": q_agg_cube,
+    "window_ntile_percent": q_window_ntile_percent,
     # rows-only relational entries live at the END so every relational
     # slot inside the driver's 50-entry window is hash-checkable; both
     # already have driver rows from r01/r02 and ±σ pytest bands
@@ -1268,6 +1295,7 @@ RELATIONAL_ORACLE = {
     "agg_rollup": SQL_AGG_ROLLUP,
     "agg_cube": SQL_AGG_CUBE,
     "window_rank": SQL_WINDOW_RANK,
+    "window_ntile_percent": SQL_WINDOW_NTILE_PERCENT,
     "window_lag_lead": SQL_WINDOW_LAG_LEAD,
     "window_frame_sum": SQL_WINDOW_FRAME_SUM,
     "sort_limit": SQL_SORT_LIMIT,
