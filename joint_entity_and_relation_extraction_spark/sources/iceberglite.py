@@ -415,6 +415,62 @@ def compact(spark: SparkSession, root: str) -> int:
     return snap_id
 
 
+def merge_upsert(spark: SparkSession, updates: DataFrame, root: str,
+                 key_cols: list[str]) -> int:
+    """MERGE INTO (copy-on-write upsert): rows of ``updates`` replace
+    current rows with the same key; unmatched keys insert. Commits one
+    new snapshot containing (current ANTI-JOIN updates-keys) UNION
+    updates — exactly real Iceberg's copy-on-write MERGE, which rewrites
+    the files holding matched rows; IcebergLite's file granularity is
+    the snapshot, so the rewrite is table-wide (compact-sized, i.e. the
+    cost of the maintenance op the table needs periodically anyway).
+    Older snapshots still time-travel to the pre-merge rows.
+
+    Concurrency: same validate-at-commit rule as :func:`compact` — the
+    expensive rewrite runs outside the lock; if another writer advanced
+    the table since the read, raises :class:`CommitConflict` (silently
+    committing would drop that writer's rows from the merged image).
+
+    ``updates`` must be key-unique (enforced: ambiguous merges raise).
+    """
+    from pyspark.sql import functions as F
+
+    m = _load(root)
+    base = m["current_snapshot"]
+    if base is None:
+        raise ValueError(f"IcebergLite table {root} has never been written")
+    partition_by = m["partition_by"]
+    dup = (updates.groupBy(*key_cols).count()
+           .filter(F.col("count") > 1).limit(1).count())
+    if dup:
+        raise ValueError(
+            f"updates carry duplicate keys on {key_cols}: MERGE would be "
+            "ambiguous (real Iceberg raises the same cardinality error)")
+    cur = read(spark, root, snapshot=base)
+    updates = updates.select(*cur.columns)  # align column order to table
+    merged = cur.join(updates.select(*key_cols), key_cols,
+                      "left_anti").unionByName(updates)
+    if partition_by:
+        merged = merged.repartition(*[F.col(c) for c in partition_by])
+    new_units = _write_snapshot(merged, root, _new_token(), partition_by)
+    with _meta_lock(root):
+        m = _load(root)
+        if m["current_snapshot"] != base:
+            raise CommitConflict(
+                f"table advanced {base} -> {m['current_snapshot']} during "
+                f"merge; retry")
+        snap_id = _next_id(m)
+        m["snapshots"].append({
+            "id": snap_id, "parent": base, "operation": "merge",
+            "units": new_units, "added": new_units, "tag": None,
+            "schema": _schema_at(m, base),
+            "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        })
+        m["current_snapshot"] = snap_id
+        _commit(root, m)
+    return snap_id
+
+
 def expire_snapshots(root: str, keep_last: int = 1,
                      orphan_grace_secs: float = 60.0) -> list[str]:
     """Maintenance: drop all but the newest ``keep_last`` snapshots from

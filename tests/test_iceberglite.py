@@ -388,3 +388,47 @@ def test_schema_evolution_add_column(spark):
     assert {(r.k, r.v) for r in old.collect()} == {("a", 1), ("b", 2)}
     # partition pruning + evolution compose: pre-evolution partition only
     assert il.read(spark, tbl, where={"k": "a"}).collect()[0].extra is None
+
+
+def test_merge_upsert_updates_inserts_and_time_travels(spark, tbl):
+    """MERGE INTO semantics: matched keys replaced, unmatched inserted,
+    untouched rows preserved; the pre-merge snapshot still time-travels;
+    ambiguous (duplicate-key) updates raise."""
+    il.append(_df(spark, [("a", 1), ("b", 2), ("c", 3)]), tbl, ["k"])
+    base = il.current_snapshot(tbl)
+    snap = il.merge_upsert(spark, _df(spark, [("b", 20), ("d", 40)]),
+                           tbl, ["k"])
+    got = sorted(map(tuple, il.read(spark, tbl).collect()))
+    assert got == [("a", 1), ("b", 20), ("c", 3), ("d", 40)]
+    # pre-merge snapshot unchanged
+    assert sorted(map(tuple, il.read(spark, tbl, snapshot=base).collect())) \
+        == [("a", 1), ("b", 2), ("c", 3)]
+    assert snap != base
+    with pytest.raises(ValueError, match="duplicate keys"):
+        il.merge_upsert(spark, _df(spark, [("x", 1), ("x", 2)]), tbl, ["k"])
+
+
+def test_merge_upsert_conflict_detection(spark, tbl):
+    """A writer advancing the table between merge's read and its commit
+    must raise CommitConflict, never silently drop the racer's rows."""
+    il.append(_df(spark, [("a", 1)]), tbl, ["k"])
+    real_write = il._write_snapshot
+    raced = []
+
+    def racing_write(df, root, token, partition_by):
+        units = real_write(df, root, token, partition_by)
+        if not raced:
+            raced.append(1)
+            il.append(_df(spark, [("b", 2)]), tbl, ["k"])
+        return units
+
+    il._write_snapshot = racing_write
+    try:
+        with pytest.raises(il.CommitConflict):
+            il.merge_upsert(spark, _df(spark, [("a", 10)]), tbl, ["k"])
+    finally:
+        il._write_snapshot = real_write
+    # racer's row survived; retry now succeeds
+    il.merge_upsert(spark, _df(spark, [("a", 10)]), tbl, ["k"])
+    assert sorted(map(tuple, il.read(spark, tbl).collect())) \
+        == [("a", 10), ("b", 2)]
