@@ -168,15 +168,66 @@ def _next_id(manifest: dict) -> int:
     return (max(ids) + 1) if ids else 1
 
 
+def _json_stat(v):
+    """Parquet-footer stat value → JSON-storable scalar (bytes decode,
+    datetimes to isoformat; numerics pass through)."""
+    if isinstance(v, bytes):
+        return v.decode("utf-8", errors="replace")
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
+def _collect_unit_stats(root: str, units: list[str],
+                        cols: list[str]) -> dict:
+    """Per-unit [min, max] for ``cols`` straight from the parquet footers
+    (row-group statistics) — no data read. The manifest analogue of
+    Iceberg's per-data-file column bounds: the second pruning level after
+    partition values, and the one that makes range predicates skip files
+    on UNPARTITIONED columns (timestamps, scores, ids)."""
+    import pyarrow.parquet as pq
+
+    want = set(cols)
+    out: dict[str, dict] = {}
+    for u in units:
+        d = os.path.join(root, u)
+        mn: dict[str, object] = {}
+        mx: dict[str, object] = {}
+        for fname in sorted(os.listdir(d)):
+            if not fname.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(d, fname)).metadata
+            for rg in range(md.num_row_groups):
+                row_group = md.row_group(rg)
+                for ci in range(row_group.num_columns):
+                    col = row_group.column(ci)
+                    name = col.path_in_schema
+                    st = col.statistics
+                    if name not in want or st is None or not st.has_min_max:
+                        continue
+                    lo, hi = _json_stat(st.min), _json_stat(st.max)
+                    if name not in mn or lo < mn[name]:
+                        mn[name] = lo
+                    if name not in mx or hi > mx[name]:
+                        mx[name] = hi
+        out[u] = {c: [mn[c], mx[c]] for c in mn if c in mx}
+    return out
+
+
 def append(df: DataFrame, root: str, partition_by: list[str] | None = None,
-           tag: str | None = None) -> int:
+           tag: str | None = None,
+           stats_cols: list[str] | None = None) -> int:
     """SNK1: append a snapshot; returns the new snapshot id.
 
     ``tag`` is an idempotency token recorded in the snapshot (e.g. a
     streaming micro-batch id); see :func:`committed_tags`.
-    """
+    ``stats_cols`` records per-unit [min, max] bounds for those columns
+    in the manifest (from the parquet footers, no data read), enabling
+    :func:`read`'s ``where_range`` data skipping."""
     partition_by = partition_by or _load(root)["partition_by"]
     new_units = _write_snapshot(df, root, _new_token(), partition_by)
+    stats = (_collect_unit_stats(root, new_units, stats_cols)
+             if stats_cols else {})
     schema_json = df.schema.json()
     with _meta_lock(root):
         m = _load(root)
@@ -184,6 +235,8 @@ def append(df: DataFrame, root: str, partition_by: list[str] | None = None,
         snap_id = _next_id(m)
         m["partition_by"] = partition_by
         m["schema"] = schema_json
+        if stats:
+            m.setdefault("unit_stats", {}).update(stats)
         m["snapshots"].append({
             "id": snap_id, "parent": parent, "operation": "append",
             "units": _units_at(m, parent) + new_units, "added": new_units,
@@ -272,13 +325,22 @@ def partitions(root: str, snapshot: int | None = None) -> list[dict[str, str]]:
 
 
 def read(spark: SparkSession, root: str, snapshot: int | None = None,
-         where: dict[str, object] | None = None) -> DataFrame:
+         where: dict[str, object] | None = None,
+         where_range: dict[str, tuple] | None = None) -> DataFrame:
     """SRC2: scan at a snapshot with manifest-side partition pruning.
 
     ``where`` maps partition column → value (or list of values); matching is
     done against the ``col=value`` path components BEFORE any Spark plan is
     built, so pruned partitions are never even listed — the IcebergLite
     analogue of Iceberg manifest pruning (SURVEY.md §4.2).
+
+    ``where_range`` maps column → (lo, hi) inclusive bounds, pruned
+    against the per-unit [min, max] stats recorded by append's
+    ``stats_cols`` (Iceberg's data-file column bounds): a unit whose
+    range cannot intersect is never listed. Units WITHOUT recorded stats
+    for the column always survive — stats only ever skip provably-
+    non-matching data, so this is a pure optimization, and the caller
+    still applies the exact row filter (min/max cannot).
 
     When no units survive — the table is empty at this snapshot, or
     ``where`` pruned everything — returns an EMPTY DataFrame with the
@@ -300,6 +362,20 @@ def read(spark: SparkSession, root: str, snapshot: int | None = None,
                         return False
             return True
         units = [u for u in units if keep(u)]
+    if where_range:
+        unit_stats = m.get("unit_stats", {})
+
+        def keep_range(u: str) -> bool:
+            st = unit_stats.get(u, {})
+            for col, (lo, hi) in where_range.items():
+                if col not in st:
+                    continue  # no stats recorded — cannot prove skip
+                umin, umax = st[col]
+                if (hi is not None and umin > hi) or \
+                        (lo is not None and umax < lo):
+                    return False
+            return True
+        units = [u for u in units if keep_range(u)]
     if not units:
         schema_json = _schema_at(m, snap)
         if schema_json is None:

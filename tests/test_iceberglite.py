@@ -432,3 +432,36 @@ def test_merge_upsert_conflict_detection(spark, tbl):
     il.merge_upsert(spark, _df(spark, [("a", 10)]), tbl, ["k"])
     assert sorted(map(tuple, il.read(spark, tbl).collect())) \
         == [("a", 10), ("b", 2)]
+
+
+def test_column_stats_range_pruning(spark, tbl):
+    """Per-unit [min, max] column bounds (from parquet footers, recorded
+    by append's stats_cols) must let a range predicate skip units that
+    provably cannot match — Iceberg's data-file bounds pruning on an
+    UNPARTITIONED column — while units without stats always survive."""
+    def vdf(rows):
+        return spark.createDataFrame(rows, "k string, v int")
+
+    # three appends with disjoint v ranges, stats recorded
+    il.append(vdf([("a", 1), ("a", 9)]), tbl, ["k"], stats_cols=["v"])
+    il.append(vdf([("a", 100), ("a", 190)]), tbl, ["k"], stats_cols=["v"])
+    il.append(vdf([("a", 1000), ("a", 1900)]), tbl, ["k"], stats_cols=["v"])
+    # and one WITHOUT stats — must never be pruned
+    il.append(vdf([("a", 55)]), tbl, ["k"])
+
+    pruned = il.read(spark, tbl, where_range={"v": (100, 200)})
+    got = sorted(r.v for r in pruned.collect())
+    assert got == [55, 100, 190]  # stats-less unit survives; others skip
+    n_units_all = len(il.read(spark, tbl).inputFiles())
+    assert len(pruned.inputFiles()) < n_units_all
+    # exactness: pruning + row filter == full-scan row filter
+    want = sorted(r.v for r in il.read(spark, tbl)
+                  .filter("v BETWEEN 100 AND 200").collect())
+    assert sorted(r.v for r in pruned.filter(
+        "v BETWEEN 100 AND 200").collect()) == want
+    # open-ended bounds
+    hi = il.read(spark, tbl, where_range={"v": (1000, None)})
+    assert sorted(r.v for r in hi.collect()) == [55, 1000, 1900]
+    # composes with partition pruning
+    both = il.read(spark, tbl, where={"k": "a"}, where_range={"v": (0, 10)})
+    assert sorted(r.v for r in both.collect()) == [1, 9, 55]
