@@ -1028,6 +1028,57 @@ FROM nation WHERE n_regionkey < 2
 """
 
 
+_ICEBERG_STATS_CACHE: dict = {}
+
+
+def q_iceberg_stats_skipping(spark, sf):
+    """Column-stats data skipping as a driver-gradable query (r04):
+    `orders` appended in three totalprice-banded batches with
+    stats_cols=["o_totalprice"], then read with a where_range that the
+    manifest prunes against the recorded per-unit [min, max] bounds —
+    only the overlapping band's files are ever listed — plus the exact
+    row filter. Equality with the plain SQL filter proves the pruning
+    lossless; tests/test_iceberglite.py pins that files ARE skipped."""
+    import shutil
+    import tempfile
+
+    from ..sources import iceberglite as il
+
+    key = (spark.sparkContext.applicationId, sf)
+    if key not in _ICEBERG_STATS_CACHE:
+        if not _ICEBERG_STATS_CACHE:
+            import atexit
+
+            atexit.register(lambda: [
+                shutil.rmtree(root, ignore_errors=True)
+                for root in _ICEBERG_STATS_CACHE.values()])
+        for old in [k for k in _ICEBERG_STATS_CACHE if k[0] != key[0]]:
+            shutil.rmtree(_ICEBERG_STATS_CACHE.pop(old), ignore_errors=True)
+        o = read_table(spark, sf, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice")
+        root = tempfile.mkdtemp(prefix="jers-iceberg-stats-")
+        for lo, hi in ((None, 50_000.0), (50_000.0, 150_000.0),
+                       (150_000.0, None)):
+            band = o
+            if lo is not None:
+                band = band.filter(F.col("o_totalprice") >= lo)
+            if hi is not None:
+                band = band.filter(F.col("o_totalprice") < hi)
+            il.append(band, root, [], stats_cols=["o_totalprice"])
+        _ICEBERG_STATS_CACHE[key] = root
+    root = _ICEBERG_STATS_CACHE[key]
+    return (il.read(spark, root,
+                    where_range={"o_totalprice": (60_000.0, 140_000.0)})
+            .filter(F.col("o_totalprice").between(60_000.0, 140_000.0))
+            .select("o_orderkey", "o_custkey", "o_totalprice"))
+
+
+SQL_ICEBERG_STATS_SKIPPING = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders WHERE o_totalprice BETWEEN 60000.0 AND 140000.0
+"""
+
+
 def q_udtf_word_pos(spark, sf):
     """Python UDTF (SURVEY.md §2.5 row closed — Spark 4 F.udtf): a
     table function emitting (pos, word) for a document's first 5 words,
@@ -1269,6 +1320,7 @@ RELATIONAL_QUERIES = {
     "agg_rollup": q_agg_rollup,
     "agg_cube": q_agg_cube,
     "window_ntile_percent": q_window_ntile_percent,
+    "iceberg_stats_skipping": q_iceberg_stats_skipping,
     # rows-only relational entries live at the END so every relational
     # slot inside the driver's 50-entry window is hash-checkable; both
     # already have driver rows from r01/r02 and ±σ pytest bands
@@ -1296,6 +1348,7 @@ RELATIONAL_ORACLE = {
     "agg_cube": SQL_AGG_CUBE,
     "window_rank": SQL_WINDOW_RANK,
     "window_ntile_percent": SQL_WINDOW_NTILE_PERCENT,
+    "iceberg_stats_skipping": SQL_ICEBERG_STATS_SKIPPING,
     "window_lag_lead": SQL_WINDOW_LAG_LEAD,
     "window_frame_sum": SQL_WINDOW_FRAME_SUM,
     "sort_limit": SQL_SORT_LIMIT,
