@@ -83,7 +83,10 @@ REPEATS = int(os.environ.get("JERS_BENCH_REPEATS", "3"))
 # 2-4 within minutes (observed), so waiting for a genuinely quiet
 # window is cheaper than a contaminated gate artifact.
 QUIET_LOAD = float(os.environ.get("JERS_BENCH_QUIET_LOAD", "5"))
-QUIET_WAIT_SECS = float(os.environ.get("JERS_BENCH_QUIET_WAIT", "900"))
+# bounded so five guarded points add at most ~40 min even if the host
+# never quiets (observed waits are 0-105s; ambient load dips below 5
+# every few minutes) — an unbounded wait could starve the whole bench
+QUIET_WAIT_SECS = float(os.environ.get("JERS_BENCH_QUIET_WAIT", "480"))
 # JVM attribution probe size: tens of seconds at local[8] so the 8→32
 # ratio measures throughput, not stage fixed costs (8B rows at x64)
 ATTR_JVM_ROWS = 125_000_000 * REPLICATE
