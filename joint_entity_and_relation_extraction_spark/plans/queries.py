@@ -1239,6 +1239,77 @@ def q_sample_stratified(spark, sf):
         "l_orderkey", "l_linenumber", "l_returnflag")
 
 
+def q_agg_exact_percentile(spark, sf):
+    """EXACT order statistics (Spark `percentile`, linear interpolation —
+    the non-sketch counterpart of agg_approx_percentile).
+    DuckDB's QUANTILE_CONT interpolates identically; both sides round to
+    4 dp to absorb float summation order. Exact percentiles need a full
+    sort per group — fine for dashboard-sized groups, which is why the
+    GK-sketch variant exists for corpus-scale columns."""
+    li = read_table(spark, sf, "lineitem")
+    price = F.col("l_extendedprice").cast("double")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.expr(
+                     "percentile(CAST(l_extendedprice AS DOUBLE), 0.5)"),
+                     4).alias("median_r4"),
+                 F.round(F.expr(
+                     "percentile(CAST(l_extendedprice AS DOUBLE), 0.9)"),
+                     4).alias("p90_r4"),
+                 F.min(F.col("l_linenumber")).cast("bigint")
+                 .alias("min_line"),
+                 F.round(F.avg(price), 4).alias("avg_r4")))
+
+
+SQL_AGG_EXACT_PERCENTILE = """
+SELECT l_returnflag,
+       ROUND(QUANTILE_CONT(CAST(l_extendedprice AS DOUBLE), 0.5), 4)
+         AS median_r4,
+       ROUND(QUANTILE_CONT(CAST(l_extendedprice AS DOUBLE), 0.9), 4)
+         AS p90_r4,
+       CAST(MIN(l_linenumber) AS BIGINT) AS min_line,
+       ROUND(AVG(CAST(l_extendedprice AS DOUBLE)), 4) AS avg_r4
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_join_null_safe(spark, sf):
+    """Null-safe equality join (`eqNullSafe` / IS NOT DISTINCT FROM):
+    NULL keys MATCH each other instead of dropping — the join you need
+    when an outer join's null-extended key feeds a second join. Built on
+    an outer join's nulls so the semantics actually differ from `=`."""
+    o = read_table(spark, sf, "orders")
+    c = read_table(spark, sf, "customer")
+    # left join gives NULL c_mktsegment for unmatched orders
+    oc = (o.join(c, F.col("o_custkey") == F.col("c_custkey"), "left")
+          .select("o_orderkey",
+                  F.when(F.col("o_orderkey") % 7 == 0, None)
+                  .otherwise(F.col("o_orderpriority")).alias("prio")))
+    dim = o.select(
+        F.when(F.col("o_orderkey") % 3 == 0, None)
+        .otherwise(F.col("o_orderpriority")).alias("prio")).distinct()
+    return (oc.join(dim, oc["prio"].eqNullSafe(dim["prio"]))
+            .groupBy(oc["prio"].alias("prio"))
+            .agg(F.count("*").alias("n")))
+
+
+SQL_JOIN_NULL_SAFE = """
+WITH oc AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL
+              ELSE o_orderpriority END AS prio
+  FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+),
+dim AS (
+  SELECT DISTINCT CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                       ELSE o_orderpriority END AS prio
+  FROM orders
+)
+SELECT oc.prio, CAST(COUNT(*) AS BIGINT) AS n
+FROM oc JOIN dim ON oc.prio IS NOT DISTINCT FROM dim.prio
+GROUP BY oc.prio
+"""
+
+
 def q_agg_approx_percentile(spark, sf):
     """Approximate percentiles (Greenwald-Khanna sketch, accuracy 1/1000):
     the mergeable-sketch aggregation shape — each partition builds a
@@ -1321,6 +1392,8 @@ RELATIONAL_QUERIES = {
     "agg_cube": q_agg_cube,
     "window_ntile_percent": q_window_ntile_percent,
     "iceberg_stats_skipping": q_iceberg_stats_skipping,
+    "agg_exact_percentile": q_agg_exact_percentile,
+    "join_null_safe": q_join_null_safe,
     # rows-only relational entries live at the END so every relational
     # slot inside the driver's 50-entry window is hash-checkable; both
     # already have driver rows from r01/r02 and ±σ pytest bands
@@ -1349,6 +1422,8 @@ RELATIONAL_ORACLE = {
     "window_rank": SQL_WINDOW_RANK,
     "window_ntile_percent": SQL_WINDOW_NTILE_PERCENT,
     "iceberg_stats_skipping": SQL_ICEBERG_STATS_SKIPPING,
+    "agg_exact_percentile": SQL_AGG_EXACT_PERCENTILE,
+    "join_null_safe": SQL_JOIN_NULL_SAFE,
     "window_lag_lead": SQL_WINDOW_LAG_LEAD,
     "window_frame_sum": SQL_WINDOW_FRAME_SUM,
     "sort_limit": SQL_SORT_LIMIT,
