@@ -173,11 +173,17 @@ def _mod_mersenne(v: np.ndarray) -> np.ndarray:
 #: (charset³-bounded) and repeats across every surface, so the 32
 #: universal hashes are computed once per DISTINCT shingle and reused —
 #: the uncached path did 32 mul+add+mod per shingle OCCURRENCE, which
-#: made the linking stage the pipeline's second-largest cost. Capped as
-#: a safety net for adversarial vocabularies; on cap overflow new
-#: shingles are computed per batch without caching.
+#: made the linking stage the pipeline's second-largest cost. The cap is
+#: a MEMORY bound, not just an entry count (ADVICE r04): each cached
+#: shingle costs 32 x 8 B of table row, so 2^17 entries bound _SH_TABLE
+#: at 32 MB per python worker (≤48 MB transiently while the table
+#: doubles) — multi-GB at local[32] was possible at the old 2^20 cap on
+#: a multilingual corpus whose char-3-gram vocabulary actually grows
+#: that large. ASCII web text needs ~10^5 shingles (fits); an overflow
+#: vocabulary degrades to the uncached per-batch path below, which is
+#: value-identical.
 _SH_CACHE: dict[str, int] = {}
-_SH_CACHE_CAP = 1 << 20
+_SH_CACHE_CAP = 1 << 17
 _SH_TABLE: np.ndarray | None = None  # (LSH_NUM_HASHES, capacity)
 _SH_USED = 0
 

@@ -118,6 +118,89 @@ FROM offs
 """
 
 
+def pack_sequences_sharded(spark: SparkSession, sf_dir: str,
+                           budget: int = 2048,
+                           n_shards: int = 8) -> DataFrame:
+    """Scale-safe :func:`pack_sequences` (VERDICT r04 item 3): identical
+    output, but no window partition ever holds a whole language.
+
+    The exact form windows over ``partitionBy(lang)`` — at 100x scale one
+    language IS the corpus and that window is a single-task sort. Here
+    the prefix sum is two-level over a compound (lang, shard) key:
+
+    1. shard = floor(doc_id / W), an ORDER-PRESERVING range bucket
+       (doc_id ascending implies (shard, doc_id) ascending), so the
+       document order — and therefore every offset — is identical to the
+       exact form. In production the shard is the monotonic ingest-file
+       id; here W is derived from max(doc_id), one scalar aggregate.
+    2. a per-(lang, shard) running sum (bounded partitions), plus a
+       per-shard total rollup whose cumulative sum over shards (a window
+       over n_shards rows per language — driver-scale) is broadcast back
+       as each shard's base offset.
+
+    start_offset = shard_base + within-shard prefix, which telescopes to
+    exactly the single-window prefix sum — equality with
+    :func:`pack_sequences` is pytest-pinned, and the same SQL oracle
+    hash-checks both."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    base = d.select("doc_id", "lang", toks.alias("n_tokens"))
+    max_id = base.agg(F.max("doc_id")).first()[0] or 0
+    width = max(1, (int(max_id) + n_shards) // n_shards)
+    base = base.withColumn("shard", (F.col("doc_id") / width)
+                           .cast("bigint"))
+    w_in = (Window.partitionBy("lang", "shard").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local = F.sum("n_tokens").over(w_in) - F.col("n_tokens")
+    # per-shard totals: n_shards rows per language — the rollup and its
+    # cumulative window are driver-scale no matter the corpus size
+    totals = base.groupBy("lang", "shard").agg(
+        F.sum("n_tokens").alias("shard_tokens"))
+    w_sh = (Window.partitionBy("lang").orderBy("shard")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    bases = totals.withColumn(
+        "shard_base",
+        (F.sum("shard_tokens").over(w_sh)
+         - F.col("shard_tokens")).cast("bigint")).drop("shard_tokens")
+    return (base
+            .withColumn("local_prefix", local.cast("bigint"))
+            .join(F.broadcast(bases), ["lang", "shard"])
+            .withColumn("start_offset",
+                        (F.col("shard_base") + F.col("local_prefix"))
+                        .cast("bigint"))
+            .withColumn("pack_id",
+                        F.floor(F.col("start_offset")
+                                / F.lit(float(budget))).cast("bigint"))
+            .select("doc_id", "lang", "n_tokens", "start_offset",
+                    "pack_id"))
+
+
+def curation_select_sketch(spark: SparkSession, sf_dir: str,
+                           frac: float = 0.5) -> DataFrame:
+    """Scale-safe :func:`curation_select` (VERDICT r04 item 3): the
+    per-source quota comes from a mergeable quantile SKETCH threshold
+    instead of a full per-source ranking window.
+
+    The exact form row_number()s every document of a source inside one
+    window partition — a single-task sort once a source has 10^10 docs.
+    Here each source's score threshold is approx_percentile(q_score,
+    1 - frac) — a map-side-combinable sketch aggregation — broadcast
+    back as a threshold filter. Selection can differ from the exact form
+    only AT the quota-boundary score (sketch rank error + ties at the
+    threshold); the containment bounds are pytest-pinned against
+    :func:`curation_select` (tests/test_curation). Output marks each
+    kept doc with its source threshold rather than a rank (ranking is
+    exactly what the scale path avoids)."""
+    d = read_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", "source", _score_col().alias("q_score"))
+    thr = base.groupBy("source").agg(
+        F.percentile_approx("q_score", 1.0 - frac, 10000).alias("thr"))
+    return (base.join(F.broadcast(thr), "source")
+            .filter(F.col("q_score") >= F.col("thr"))
+            .select("doc_id", "source", "q_score",
+                    F.round("thr", 6).alias("src_threshold")))
+
+
 def dedup_keep_best(spark: SparkSession, sf_dir: str, n: int = 2,
                     threshold: float = 0.2) -> DataFrame:
     """Keep-one-per-near-dup-cluster, quality-aware: for every cluster

@@ -80,3 +80,42 @@ def merge_triple_evidence(spark: SparkSession, table_root: str,
                                 F.pmod(F.hash("subj"), F.lit(8)))
     il.overwrite_partitions(merged, table_root, ["pred"])
     return il.read(spark, table_root, where={"pred": preds})
+
+
+#: manifest stats recorded on the triple table so incremental / resume
+#: readers can range-prune without reading data: first_seen bounds let a
+#: "what changed since T" reader skip units whose newest evidence is
+#: older, evidence_count bounds let threshold queries skip all-singleton
+#: units (VERDICT r04 item 6)
+TRIPLE_STATS_COLS = ["first_seen", "evidence_count"]
+
+
+def merge_triple_evidence_upsert(spark: SparkSession, table_root: str,
+                                 new_canon_with_ts: DataFrame) -> DataFrame:
+    """The MERGE INTO shape of the incremental fold (VERDICT r04 item 6):
+    per-key upsert through :func:`iceberglite.merge_upsert` instead of a
+    partition overwrite.
+
+    The table is pred-partitioned and (subj, pred, obj)-keyed, so the
+    partition columns are a subset of the merge key and IcebergLite's
+    copy-on-write MERGE rewrites ONLY the predicate partitions the batch
+    touches — every untouched unit carries over into the new snapshot by
+    reference (asserted in tests/test_incremental.py), exactly real
+    Iceberg's file-scoped CoW MERGE. Updated rows are the monoid-combine
+    of the existing row and the batch delta (same algebra as
+    :func:`merge_triple_evidence`; the two paths are equality-tested).
+    Every commit re-records TRIPLE_STATS_COLS unit bounds so range
+    pruning survives the rewrite."""
+    delta = aggregate_triples(new_canon_with_ts)
+    key = ["subj", "pred", "obj"]
+    if not il.exists(table_root):
+        out = delta.repartition(F.col("pred"))
+        il.append(out, table_root, ["pred"], stats_cols=TRIPLE_STATS_COLS)
+        return il.read(spark, table_root)
+    preds = [r.pred for r in delta.select("pred").distinct().collect()]
+    existing = il.read(spark, table_root, where={"pred": preds})
+    touched = existing.join(delta.select(*key), key, "left_semi")
+    updates = _combine(touched, delta) if not touched.isEmpty() else delta
+    il.merge_upsert(spark, updates, table_root, key,
+                    stats_cols=TRIPLE_STATS_COLS)
+    return il.read(spark, table_root, where={"pred": preds})

@@ -1329,15 +1329,32 @@ def q_agg_approx_percentile(spark, sf):
 # --- registry ---------------------------------------------------------------
 
 RELATIONAL_QUERIES = {
-    # the two streaming witnesses lead so they sit inside the driver's
-    # 50-entry correctness window (see plans/registry.py DRIVER_WINDOW)
-    "stream_sliding_batch": q_stream_sliding_batch,
+    # --- r05 driver window (15 relational slots; ANALYTICS 28 + KG 7
+    # fill the first 35 of registry.DRIVER_WINDOW=50). The FULL expected
+    # window membership is pinned by
+    # tests/test_registry.py::test_driver_window_covers_priority_queries
+    # (exact list, not a must-subset — ADVICE r04: r04's 7 new analytics
+    # entries silently evicted 7 relational queries in addition to the 5
+    # disclosed rotations; an exact-membership test makes every future
+    # eviction loud).
+    # r04 accounting correction (ADVICE r04): r04's comment disclosed 5
+    # rotations but the round actually evicted 12 — the 7 new analytics
+    # entries additionally pushed out agg_group_multi, agg_count_distinct,
+    # window_rank, window_lag_lead, window_frame_sum, sort_limit and
+    # window_topk_per_group (all driver-green in r02/r03, all still
+    # registered + pytest-gated below). The exact-membership test now
+    # makes any such silent eviction fail loudly.
+    # r05 rotation (VERDICT r04 item 2): the four r04-appended queries
+    # (window_ntile_percent, iceberg_stats_skipping, agg_exact_percentile,
+    # join_null_safe) had never been driver-checked — hoisted into the
+    # window; four multi-green entries (stream_sliding_batch,
+    # join_shuffledhash, join_anti, join_theta) rotate out past the
+    # window, still registered, oracled, and pytest-parity-gated.
     "stream_session_batch": q_stream_session_batch,
-    # r04 rotation (VERDICT r03 item 3): the five r03-appended queries had
-    # never been driver-checked in any round — hoisted into the window;
-    # five twice-green entries (join_left/full/semi, agg_rollup/cube)
-    # rotate out past the window for one round, still registered and
-    # pytest-gated.
+    "window_ntile_percent": q_window_ntile_percent,
+    "iceberg_stats_skipping": q_iceberg_stats_skipping,
+    "agg_exact_percentile": q_agg_exact_percentile,
+    "join_null_safe": q_join_null_safe,
     "unpivot_measures": q_unpivot_measures,
     "join_range_bucketed": q_join_range_bucketed,
     "higher_order_funcs": q_higher_order_funcs,
@@ -1347,10 +1364,14 @@ RELATIONAL_QUERIES = {
     "filter_pushdown": q_filter_pushdown,
     "join_broadcast": q_join_broadcast,
     "join_sortmerge": q_join_sortmerge,
+    "join_asof": q_join_asof,
+    # --- past the window from here down: every entry below is registered,
+    # pytest-gated, and (where oracled) mirror-checked; driver rows exist
+    # from earlier rounds as annotated ---------------------------------
+    "stream_sliding_batch": q_stream_sliding_batch,
     "join_shuffledhash": q_join_shuffledhash,
     "join_anti": q_join_anti,
     "join_theta": q_join_theta,
-    "join_asof": q_join_asof,
     "agg_group_multi": q_agg_group_multi,
     "agg_count_distinct": q_agg_count_distinct,
     "window_rank": q_window_rank,
@@ -1382,18 +1403,13 @@ RELATIONAL_QUERIES = {
     "join_salted": q_join_salted,
     "iceberg_snapshot_scan": q_iceberg_snapshot_scan,
     "udtf_word_pos": q_udtf_word_pos,
-    # rotated out of the driver window for r04 (all driver-green in both
-    # r02 AND r03) to make room for the five never-checked queries hoisted
-    # above; still registered, oracled, and pytest-parity-gated
+    # rotated out of the driver window in r04 (all driver-green in both
+    # r02 AND r03); still registered, oracled, and pytest-parity-gated
     "join_left": q_join_left,
     "join_full": q_join_full,
     "join_semi": q_join_semi,
     "agg_rollup": q_agg_rollup,
     "agg_cube": q_agg_cube,
-    "window_ntile_percent": q_window_ntile_percent,
-    "iceberg_stats_skipping": q_iceberg_stats_skipping,
-    "agg_exact_percentile": q_agg_exact_percentile,
-    "join_null_safe": q_join_null_safe,
     # rows-only relational entries live at the END so every relational
     # slot inside the driver's 50-entry window is hash-checkable; both
     # already have driver rows from r01/r02 and ±σ pytest bands

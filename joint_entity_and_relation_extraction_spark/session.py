@@ -46,6 +46,12 @@ def build_session(
         # shuffle width: ~2x cores locally; AQE coalesces down
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 2 * cores))
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # TIMESTAMP_MICROS, not the INT96 default: INT96 pages carry NO
+        # parquet min/max statistics, which silently disables IcebergLite
+        # unit-stats range skipping on every timestamp column
+        # (first_seen/warc_ts bounds — verified in-sandbox: INT96 footer
+        # stats are None); micros is also the type real Iceberg mandates
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         # python workers: keep numpy single-threaded (parallelism = partitions)

@@ -444,6 +444,18 @@ class CommitConflict(RuntimeError):
     commit; the caller should retry against the new current snapshot."""
 
 
+def _stats_cols_of(manifest: dict) -> list[str]:
+    """Columns with recorded per-unit bounds anywhere in the manifest —
+    the stats contract a rewrite (compact / merge) must carry forward:
+    without re-deriving them for the rewritten units, where_range data
+    skipping silently degrades to a full scan after any maintenance op
+    (ADVICE r04)."""
+    cols: set[str] = set()
+    for st in manifest.get("unit_stats", {}).values():
+        cols.update(st)
+    return sorted(cols)
+
+
 def compact(spark: SparkSession, root: str) -> int:
     """Maintenance: rewrite the CURRENT snapshot into one file per
     partition and commit it as a new snapshot whose unit list is ONLY the
@@ -473,6 +485,8 @@ def compact(spark: SparkSession, root: str) -> int:
     else:
         df = df.coalesce(1)
     new_units = _write_snapshot(df, root, _new_token(), partition_by)
+    stats = (_collect_unit_stats(root, new_units, _stats_cols_of(m))
+             if _stats_cols_of(m) else {})
     with _meta_lock(root):
         m = _load(root)
         if m["current_snapshot"] != base:
@@ -480,6 +494,8 @@ def compact(spark: SparkSession, root: str) -> int:
                 f"table advanced {base} -> {m['current_snapshot']} during "
                 f"compaction; retry")
         snap_id = _next_id(m)
+        if stats:
+            m.setdefault("unit_stats", {}).update(stats)
         m["snapshots"].append({
             "id": snap_id, "parent": base, "operation": "compact",
             "units": new_units, "added": new_units, "tag": None,
@@ -492,15 +508,20 @@ def compact(spark: SparkSession, root: str) -> int:
 
 
 def merge_upsert(spark: SparkSession, updates: DataFrame, root: str,
-                 key_cols: list[str]) -> int:
+                 key_cols: list[str],
+                 stats_cols: list[str] | None = None) -> int:
     """MERGE INTO (copy-on-write upsert): rows of ``updates`` replace
     current rows with the same key; unmatched keys insert. Commits one
     new snapshot containing (current ANTI-JOIN updates-keys) UNION
-    updates — exactly real Iceberg's copy-on-write MERGE, which rewrites
-    the files holding matched rows; IcebergLite's file granularity is
-    the snapshot, so the rewrite is table-wide (compact-sized, i.e. the
-    cost of the maintenance op the table needs periodically anyway).
-    Older snapshots still time-travel to the pre-merge rows.
+    updates — real Iceberg's copy-on-write MERGE, which rewrites only
+    the files holding matched rows. When the table's partition columns
+    are a subset of ``key_cols`` (r05: the shape the triple table uses —
+    pred-partitioned, (subj, pred, obj)-keyed), a matched row can only
+    live in a partition the updates touch, so ONLY those partitions are
+    read and rewritten and every untouched unit carries over — the merge
+    cost scales with the batch, not the table. Otherwise the rewrite is
+    table-wide (compact-sized). Older snapshots still time-travel to the
+    pre-merge rows.
 
     Concurrency: same validate-at-commit rule as :func:`compact` — the
     expensive rewrite runs outside the lock; if another writer advanced
@@ -508,6 +529,12 @@ def merge_upsert(spark: SparkSession, updates: DataFrame, root: str,
     committing would drop that writer's rows from the merged image).
 
     ``updates`` must be key-unique (enforced: ambiguous merges raise).
+
+    ``stats_cols`` records per-unit [min, max] bounds for the rewritten
+    units; when omitted, the columns already carrying unit_stats in the
+    manifest are re-derived automatically, so where_range data skipping
+    survives a merge instead of silently degrading to a full scan
+    (ADVICE r04).
     """
     from pyspark.sql import functions as F
 
@@ -522,13 +549,33 @@ def merge_upsert(spark: SparkSession, updates: DataFrame, root: str,
         raise ValueError(
             f"updates carry duplicate keys on {key_cols}: MERGE would be "
             "ambiguous (real Iceberg raises the same cardinality error)")
-    cur = read(spark, root, snapshot=base)
+    partition_scoped = bool(partition_by) and set(partition_by) <= set(key_cols)
+    kept_units: list[str] = []
+    if partition_scoped:
+        # matched rows can only live in partitions the updates touch —
+        # read just those (manifest pruning), carry every other unit over
+        touched = updates.select(*partition_by).distinct().collect()
+        where = {c: sorted({str(r[c]) for r in touched})
+                 for c in partition_by}
+        cur = read(spark, root, snapshot=base, where=where)
+        m_base = _load(root)
+
+        def _touched(u: str) -> bool:
+            pv = _partition_values(u)
+            return all(pv.get(c) in set(where[c]) for c in partition_by
+                       if c in pv)
+        kept_units = [u for u in _units_at(m_base, base) if not _touched(u)]
+    else:
+        cur = read(spark, root, snapshot=base)
     updates = updates.select(*cur.columns)  # align column order to table
     merged = cur.join(updates.select(*key_cols), key_cols,
                       "left_anti").unionByName(updates)
     if partition_by:
         merged = merged.repartition(*[F.col(c) for c in partition_by])
     new_units = _write_snapshot(merged, root, _new_token(), partition_by)
+    want_stats = stats_cols if stats_cols is not None else _stats_cols_of(m)
+    stats = (_collect_unit_stats(root, new_units, want_stats)
+             if want_stats else {})
     with _meta_lock(root):
         m = _load(root)
         if m["current_snapshot"] != base:
@@ -536,9 +583,11 @@ def merge_upsert(spark: SparkSession, updates: DataFrame, root: str,
                 f"table advanced {base} -> {m['current_snapshot']} during "
                 f"merge; retry")
         snap_id = _next_id(m)
+        if stats:
+            m.setdefault("unit_stats", {}).update(stats)
         m["snapshots"].append({
             "id": snap_id, "parent": base, "operation": "merge",
-            "units": new_units, "added": new_units, "tag": None,
+            "units": kept_units + new_units, "added": new_units, "tag": None,
             "schema": _schema_at(m, base),
             "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
         })
@@ -579,6 +628,13 @@ def expire_snapshots(root: str, keep_last: int = 1,
                 if s["parent"] not in kept_ids:
                     s["parent"] = None  # history truncated here
             m["snapshots"] = kept
+            # unit_stats for units no retained snapshot references would
+            # otherwise accumulate forever (every rewrite op adds keys,
+            # nothing removed them — ADVICE r04): prune to the kept units
+            if "unit_stats" in m:
+                kept_units = {u for s in kept for u in s["units"]}
+                m["unit_stats"] = {u: st for u, st in m["unit_stats"].items()
+                                   if u in kept_units}
             _commit(root, m)
     # The orphan sweep runs even when the manifest is already minimal:
     # a prior expire inside the grace window truncates metadata but must

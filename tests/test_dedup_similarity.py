@@ -432,3 +432,75 @@ def test_ivf_persisted_index_prunes_and_matches(spark, tmp_path):
     assert files
     for f in files:
         assert any(f"list_id={l}/" in f for l in probed), f
+
+
+def test_ivf_append_equals_fixed_centroid_rebuild(spark, tmp_path):
+    """Index lifecycle (VERDICT r04 item 7): appending a batch of new
+    vectors into the persisted index (assigned with the FROZEN index
+    centroids) must answer queries identically to an index built in one
+    shot over the union with those same centroids."""
+    from joint_entity_and_relation_extraction_spark.sources import (
+        iceberglite as il)
+    from joint_entity_and_relation_extraction_spark.sources.io import (
+        read_table)
+
+    base = read_table(spark, SF0001, "embeddings")
+    cent = SIM.ivf_centroids(spark, SF0001)
+    half_a = base.filter(F.col("vec_id") % 2 == 0)
+    half_b = base.filter(F.col("vec_id") % 2 == 1)
+    inc_root = str(tmp_path / "ivf_inc")
+    full_root = str(tmp_path / "ivf_full")
+    SIM.ivf_build_index(spark, SF0001, inc_root, centroids=cent,
+                        vectors=half_a)
+    SIM.ivf_append(spark, half_b, inc_root)
+    SIM.ivf_build_index(spark, SF0001, full_root, centroids=cent)
+    got = {tuple(r) for r in SIM.ann_ivf_persisted(
+        spark, SF0001, inc_root, n_queries=6, k=5).collect()}
+    want = {tuple(r) for r in SIM.ann_ivf_persisted(
+        spark, SF0001, full_root, n_queries=6, k=5).collect()}
+    assert got == want and got
+    # the append landed in the inverted-list partitions, not a side table
+    assert (il.read(spark, inc_root).count()
+            == il.read(spark, full_root).count())
+
+
+def test_ivf_skew_trigger_and_recluster(spark, tmp_path):
+    """Appends assign against frozen centroids, so a drifted ingest piles
+    into few lists; the skew trigger must fire, and reclustering must
+    restore balance while answering like a fresh build over the same
+    vectors (deterministic k-means => identical index)."""
+    import numpy as np
+
+    from joint_entity_and_relation_extraction_spark.sources import (
+        iceberglite as il)
+    from joint_entity_and_relation_extraction_spark.sources.io import (
+        read_table)
+
+    base = read_table(spark, SF0001, "embeddings")
+    root = str(tmp_path / "ivf")
+    SIM.ivf_build_index(spark, SF0001, root)
+    assert not SIM.ivf_needs_recluster(spark, root)
+    # drifted batch: many copies of one existing vector region -> all
+    # land in one list
+    hot = base.orderBy("vec_id").limit(1).collect()[0]
+    n_hot = base.count() * 2
+    drift = spark.createDataFrame(
+        [(int(1_000_000 + i), list(hot.embedding), int(hot.label))
+         for i in range(n_hot)],
+        il.read(spark, root).drop("norm", "list_id").schema)
+    SIM.ivf_append(spark, drift, root)
+    assert SIM.ivf_needs_recluster(spark, root)
+    new_root = str(tmp_path / "ivf_v2")
+    cent_re = SIM.ivf_recluster(spark, root, new_root)
+    fresh_root = str(tmp_path / "ivf_fresh")
+    all_vecs = il.read(spark, root).drop("norm", "list_id")
+    cent_fresh = SIM.ivf_build_index(spark, SF0001, fresh_root,
+                                     vectors=all_vecs)
+    assert np.allclose(cent_re, cent_fresh)
+    got = {tuple(r) for r in SIM.ann_ivf_persisted(
+        spark, SF0001, new_root, n_queries=4, k=5).collect()}
+    want = {tuple(r) for r in SIM.ann_ivf_persisted(
+        spark, SF0001, fresh_root, n_queries=4, k=5).collect()}
+    assert got == want and got
+    assert (SIM.ivf_list_skew(spark, new_root)
+            < SIM.ivf_list_skew(spark, root))

@@ -208,3 +208,16 @@ def test_linking_localcheckpoint_truncates_lineage(spark):
     # the extractor/model python stages must NOT appear in the resolution
     # plan — the checkpoint cut the lineage there
     assert "html_to_text" not in p and "_infer_distinct_batches" not in p, p[:2000]
+
+
+def test_incremental_dedup_verify_is_candidate_scoped(spark):
+    """VERDICT r04 item 4 plan gate: the incremental dedup verify stage
+    must reach the corpus through a LEFT-SEMI join on the (tiny)
+    candidate id set — shingling the whole corpus per batch was 2 extra
+    corpus-wide shuffles. The semi-join must sit BELOW the shingle
+    projection, i.e. the verify joins consume the semi-reduced side."""
+    from joint_entity_and_relation_extraction_spark.operators import dedup as DD
+
+    df = DD.minhash_incremental_pairs(spark, SF001, n=2, threshold=0.2)
+    p = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in p

@@ -60,23 +60,37 @@ def test_oracle_keys_subset_of_queries():
     assert set(registry.all_oracles()) <= set(registry.all_queries())
 
 
+# The EXACT relational membership of the r05 driver window (ADVICE r04:
+# a must-subset assertion let 7 analytics additions silently evict 7
+# relational queries in r04 — this list makes any reordering/addition
+# that changes the window loud). ANALYTICS + KG fill the first 35 slots;
+# these 15 relational names fill the rest, in this order.
+R05_WINDOW_RELATIONAL = [
+    "stream_session_batch",
+    # r05 hoist (VERDICT r04 item 2): never driver-checked before
+    "window_ntile_percent", "iceberg_stats_skipping",
+    "agg_exact_percentile", "join_null_safe",
+    "unpivot_measures", "join_range_bucketed", "higher_order_funcs",
+    "sample_stratified", "agg_approx_percentile",
+    "scan_project", "filter_pushdown", "join_broadcast",
+    "join_sortmerge", "join_asof",
+]
+
+
 def test_driver_window_covers_priority_queries():
     """The driver hash-checks only the first ~50 all_queries() entries
-    (both prior CORRECTNESS files cut at exactly 50, in dict order). The
-    analytics section, the KG pipeline chain, and the streaming-semantics
-    witnesses must all sit inside that window — r02 lost 22 queries to
-    silent eviction when entries were appended (VERDICT r02, finding #1)."""
+    (every CORRECTNESS file so far cut at exactly 50, in dict order).
+    Assert the FULL expected window membership — analytics + KG chain +
+    the exact 15 relational slots — not a must-subset: r02 lost 22
+    queries and r04 another 7 to silent eviction when entries were
+    appended (VERDICT r02 finding #1, ADVICE r04 finding #1)."""
     window = list(registry.all_queries())[: registry.DRIVER_WINDOW]
-    must = (set(registry.ANALYTICS_QUERIES)
-            | set(registry.KG_QUERIES)
-            | {"stream_sliding_batch", "stream_session_batch"}
-            # r04 rotation: the five queries that had never been
-            # driver-checked (VERDICT r03 item 3) must sit in the window
-            | {"unpivot_measures", "join_range_bucketed",
-               "higher_order_funcs", "sample_stratified",
-               "agg_approx_percentile"})
-    missing = must - set(window)
-    assert not missing, f"evicted from driver window: {sorted(missing)}"
+    expected = (list(registry.ANALYTICS_QUERIES)
+                + list(registry.KG_QUERIES)
+                + R05_WINDOW_RELATIONAL)
+    assert window == expected, (
+        f"driver window drifted:\n evicted={sorted(set(expected) - set(window))}"
+        f"\n intruded={sorted(set(window) - set(expected))}")
 
 
 def test_entry_smoke(spark):

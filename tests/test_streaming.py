@@ -328,3 +328,46 @@ def test_streaming_incremental_dedup_converges_to_batch(spark, tmp_path):
                           roots["pairs"])(replay, last_id)
     assert il.read(spark, roots["pairs"]).count() == len(got)
     assert len(il.snapshots(roots["index"])) == 3
+
+
+def test_redelivered_url_is_noop(spark, tmp_path):
+    """At-least-once sources re-deliver: a url seen in an EARLIER batch
+    must not re-append its doc/bands or re-emit its pairs when it shows
+    up again under a NEW batch_id (ADVICE r04 — the tag guard only
+    covers same-batch replays)."""
+    import datetime
+    import os
+
+    import pandas as pd
+
+    from joint_entity_and_relation_extraction_spark.sources import (
+        iceberglite as il)
+
+    docs = pd.read_parquet(os.path.join(SF0001, "documents.parquet"))
+    ts = datetime.datetime(2024, 1, 1)
+    chunk = pd.DataFrame({
+        "url": [f"https://redeliver-{i}.test/p" for i in range(40)],
+        "warc_ts": [ts] * 40,
+        "html": [t.encode() for t in docs.text[:40]],
+        "text": list(docs.text[:40]),
+        "lang": list(docs.lang[:40]),
+    })
+    roots = {k: str(tmp_path / k) for k in ("index", "docs", "pairs")}
+    handler = S.dedup_index_handler(roots["index"], roots["docs"],
+                                    roots["pairs"])
+    handler(spark.createDataFrame(chunk), 0)
+    n_docs = il.read(spark, roots["docs"]).count()
+    n_bands = il.read(spark, roots["index"]).count()
+    snaps = len(il.snapshots(roots["index"]))
+    # the same urls arrive again in a LATER batch (new batch_id)
+    handler(spark.createDataFrame(chunk), 1)
+    assert il.read(spark, roots["docs"]).count() == n_docs
+    assert il.read(spark, roots["index"]).count() == n_bands
+    assert len(il.snapshots(roots["index"])) == snaps
+    # a mixed batch (20 re-delivered + 20 genuinely new) ingests ONLY
+    # the new half
+    mixed = chunk.copy()
+    mixed.loc[20:, "url"] = [f"https://fresh-{i}.test/p"
+                             for i in range(20)]
+    handler(spark.createDataFrame(mixed), 2)
+    assert il.read(spark, roots["docs"]).count() == n_docs + 20
