@@ -1347,9 +1347,13 @@ RELATIONAL_QUERIES = {
     # r05 rotation (VERDICT r04 item 2): the four r04-appended queries
     # (window_ntile_percent, iceberg_stats_skipping, agg_exact_percentile,
     # join_null_safe) had never been driver-checked — hoisted into the
-    # window; four multi-green entries (stream_sliding_batch,
-    # join_shuffledhash, join_anti, join_theta) rotate out past the
-    # window, still registered, oracled, and pytest-parity-gated.
+    # window. SIX multi-green entries rotate out past the window to make
+    # room for them plus the two new-in-r05 analytics queries
+    # (pack_sequences_sharded, curation_select_sketch, registered inside
+    # the window so they get driver rows in their own round):
+    # stream_sliding_batch, join_shuffledhash, join_anti, join_theta,
+    # join_broadcast, join_sortmerge — all driver-green in 3 prior
+    # rounds, all still registered, oracled, and pytest-parity-gated.
     "stream_session_batch": q_stream_session_batch,
     "window_ntile_percent": q_window_ntile_percent,
     "iceberg_stats_skipping": q_iceberg_stats_skipping,
@@ -1362,12 +1366,12 @@ RELATIONAL_QUERIES = {
     "agg_approx_percentile": q_agg_approx_percentile,
     "scan_project": q_scan_project,
     "filter_pushdown": q_filter_pushdown,
-    "join_broadcast": q_join_broadcast,
-    "join_sortmerge": q_join_sortmerge,
     "join_asof": q_join_asof,
     # --- past the window from here down: every entry below is registered,
     # pytest-gated, and (where oracled) mirror-checked; driver rows exist
     # from earlier rounds as annotated ---------------------------------
+    "join_broadcast": q_join_broadcast,
+    "join_sortmerge": q_join_sortmerge,
     "stream_sliding_batch": q_stream_sliding_batch,
     "join_shuffledhash": q_join_shuffledhash,
     "join_anti": q_join_anti,

@@ -162,32 +162,25 @@ ANALYTICS_QUERIES = {
     "dedup_keep_best": partial(CU.dedup_keep_best, n=2, threshold=0.2),
     "pack_sequences": partial(CU.pack_sequences, budget=2048),
     "dedup_embedding_clusters": partial(DD.embedding_clusters, threshold=0.3),
-}
-
-# --- r05 additions, appended PAST the driver window -------------------------
-# Placing these in ANALYTICS_QUERIES would silently evict 2 relational
-# entries from the 50-slot driver window (the exact ADVICE r04 failure);
-# instead they register at the END of all_queries(), are mirror-checked by
-# pytest (pack_sequences_sharded against the same SQL oracle the exact
-# form hash-matches; curation_select_sketch by containment bounds), and
-# are scheduled to hoist into the window next round like the r03/r04
-# late additions were.
-EXTRA_QUERIES = {
+    # r05 scale-safe curation variants (VERDICT r04 item 3) — added HERE,
+    # inside the driver window, in the round they were written, so they
+    # get a driver row immediately instead of repeating the r03/r04
+    # appended-past-the-window pattern; the two relational evictions this
+    # causes (join_broadcast, join_sortmerge — both driver-green in
+    # r02+r03+r04) are disclosed at the rotation comment in
+    # plans/queries.py and pinned by the exact-membership window test.
     "pack_sequences_sharded": partial(CU.pack_sequences_sharded, budget=2048),
     "curation_select_sketch": partial(CU.curation_select_sketch, frac=0.5),
 }
 
-EXTRA_ORACLE = {
-    # identical output contract to pack_sequences (columns and values —
-    # parity-pinned), so the two-level-prefix-sum plan is hash-checked
-    # against the SAME oracle SQL as the exact single-window form
-    "pack_sequences_sharded": CU.sql_pack_sequences(budget=2048),
-    # curation_select_sketch: sketch-thresholded — rows-only (selection
-    # can differ from the exact quota at the boundary score; containment
-    # pytest-pinned in tests/test_curation_scale.py)
-}
-
 ANALYTICS_ORACLE = {
+    # pack_sequences_sharded: identical output contract to pack_sequences
+    # (columns and values — parity-pinned), so the two-level-prefix-sum
+    # plan is hash-checked against the SAME oracle SQL as the exact
+    # single-window form. curation_select_sketch: sketch-thresholded —
+    # rows-only (selection can differ from the exact quota at the
+    # boundary score; containment pytest-pinned in test_curation_scale).
+    "pack_sequences_sharded": CU.sql_pack_sequences(budget=2048),
     "dedup_exact": DD.SQL_EXACT_DEDUP,
     "dedup_ngram_jaccard": DD.sql_ngram_jaccard(n=2, threshold=0.2),
     "dedup_embedding_cosine": DD.sql_embedding_neardup(threshold=0.3),
@@ -226,7 +219,6 @@ def all_queries() -> dict:
     out.update(ANALYTICS_QUERIES)
     out.update(KG_QUERIES)
     out.update(RELATIONAL_QUERIES)
-    out.update(EXTRA_QUERIES)
     return out
 
 
@@ -234,7 +226,6 @@ def all_oracles() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(RELATIONAL_ORACLE)
     out.update(ANALYTICS_ORACLE)
-    out.update(EXTRA_ORACLE)
     return out
 
 

@@ -72,8 +72,7 @@ R05_WINDOW_RELATIONAL = [
     "agg_exact_percentile", "join_null_safe",
     "unpivot_measures", "join_range_bucketed", "higher_order_funcs",
     "sample_stratified", "agg_approx_percentile",
-    "scan_project", "filter_pushdown", "join_broadcast",
-    "join_sortmerge", "join_asof",
+    "scan_project", "filter_pushdown", "join_asof",
 ]
 
 
