@@ -201,6 +201,169 @@ def curation_select_sketch(spark: SparkSession, sf_dir: str,
                     F.round("thr", 6).alias("src_threshold")))
 
 
+#: Multiplicative-hash constants for the per-doc uniform deviate both
+#: engines compute EXACTLY in 64-bit integer arithmetic (engine RNGs
+#: never agree; seeded hashing is how production pipelines make sampling
+#: reproducible anyway). The id is split into 32-bit halves, each
+#: multiplied by a SMALL (16-bit) constant, then the 32-bit state is put
+#: through two more multiply-mod rounds: every intermediate stays below
+#: 2^48 — no int64 overflow for ANY 63-bit doc_id (Spark 4 runs ANSI
+#: mode, where a wrapped multiply is a runtime error, and a wrap would
+#: diverge from DuckDB's HUGEINT arithmetic anyway) — while the extra
+#: rounds restore uniformity for small dense ids (one round of x*40503
+#: never wraps for x < 2^17, leaving u proportional to x; measured: mean
+#: 0.499, P(u<0.25)=0.252 on ids 0..499 AND on the top of the 63-bit
+#: range).
+_K_LO = 40503
+_K_HI = 12739
+_U32 = 4294967296
+
+#: default per-source mixture rates for the registered witness: a
+#: high-quality source kept whole, the rest downsampled — the
+#: reweight-the-mixture primitive of pretraining-data curation
+MIXTURE_RATES = {"src0": 1.0, "src1": 0.75, "src2": 0.5}
+MIXTURE_DEFAULT_RATE = 0.25
+
+
+def curation_mixture_sample(spark: SparkSession, sf_dir: str,
+                            rates: dict[str, float] | None = None,
+                            default_rate: float = MIXTURE_DEFAULT_RATE
+                            ) -> DataFrame:
+    """Deterministic mixture sampling: keep each document with its
+    source's target rate, decided by a per-doc uniform deviate: a
+    3-round multiply-mod hash of the id's 32-bit halves over 2^32 (see
+    the _K_LO note) — pure overflow-free integer arithmetic, so the same
+    doc is
+    kept at the same rate on ANY engine/cluster/run (the reproducibility
+    contract `sample()`'s engine RNG cannot give), and raising a
+    source's rate strictly grows its sample (nested samples: u <= 0.25
+    implies u <= 0.5). One narrow scan, no shuffle, no RNG state — at
+    10^12 docs this is a pushed-down filter."""
+    rates = MIXTURE_RATES if rates is None else rates
+    d = read_table(spark, sf_dir, "documents")
+    # `div` is integer division (floor(a/b) would round-trip through a
+    # DOUBLE and lose exactness above 2^53 — measured divergence at
+    # doc_id = 2^63-1)
+    mixed = (F.pmod(F.col("doc_id"), F.lit(_U32)) * F.lit(_K_LO)
+             + F.expr(f"doc_id div {_U32}") * F.lit(_K_HI))
+    state = F.pmod(mixed, F.lit(_U32))
+    for _ in range(2):  # extra multiply-mod rounds (see constant note)
+        state = F.pmod(state * F.lit(_K_LO), F.lit(_U32))
+    u = state / F.lit(float(_U32))
+    rate = F.coalesce(
+        *[F.when(F.col("source") == s, F.lit(float(r)))
+          for s, r in sorted(rates.items())],
+        F.lit(float(default_rate)))
+    return (d.select("doc_id", "source", F.round(u, 6).alias("u"),
+                     rate.alias("rate"))
+            .filter(F.col("u") < F.col("rate")))
+
+
+def sql_curation_mixture_sample(rates: dict[str, float] | None = None,
+                                default_rate: float = MIXTURE_DEFAULT_RATE
+                                ) -> str:
+    rates = MIXTURE_RATES if rates is None else rates
+    case = " ".join(f"WHEN source = '{s}' THEN {float(r)}"
+                    for s, r in sorted(rates.items()))
+    # same 3-round overflow-free arithmetic as the Spark side (DuckDB //
+    # is floor division, % is sign-of-dividend; doc_ids are non-negative
+    # so both match Spark's pmod/div exactly)
+    a = f"(((doc_id % {_U32}) * {_K_LO} + (doc_id // {_U32}) * {_K_HI}) % {_U32})"
+    c = f"((({a} * {_K_LO}) % {_U32}) * {_K_LO}) % {_U32}"
+    u = f"({c}) / {float(_U32)}"
+    return f"""
+SELECT doc_id, source,
+       ROUND({u}, 6) AS u,
+       CASE {case} ELSE {float(default_rate)} END AS rate
+FROM documents
+WHERE {u} < CASE {case} ELSE {float(default_rate)} END
+"""
+
+
+def curation_contamination(spark: SparkSession, sf_dir: str,
+                           n: int = 8, bench_mod: int = 17) -> DataFrame:
+    """Benchmark decontamination — the check every pretraining pipeline
+    runs before training: flag corpus documents sharing at least one
+    word n-gram with a held-out benchmark set. The witness benchmark is
+    the doc_id % ``bench_mod`` == 0 slice of ``documents``; production
+    swaps in the real eval suites (a table many orders of magnitude
+    smaller than the corpus, so the join's build side stays broadcast-
+    or bucket-sized). Shape: explode distinct n-grams per side, hash
+    equi-join on the n-gram, per-doc count rollup — corpus side touched
+    once, no windows. Output: (doc_id, n_shared_ngrams BIGINT,
+    n_benchmark_docs BIGINT) for contaminated docs only."""
+    d = read_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    # guard: sequence(1, stop) with stop < 1 would generate DESCENDING
+    # indices, not an empty list — a doc shorter than n words has no
+    # n-grams
+    idx = F.when(F.size(words) >= n,
+                 F.sequence(F.lit(1), F.size(words) - (n - 1))
+                 ).otherwise(F.array().cast("array<int>"))
+    grams = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n))))
+    corpus = (d.filter((F.col("doc_id") % bench_mod) != 0)
+              .select("doc_id", F.explode(grams).alias("g")))
+    bench = (d.filter((F.col("doc_id") % bench_mod) == 0)
+             .select(F.col("doc_id").alias("bench_id"),
+                     F.explode(grams).alias("g"))
+             .dropDuplicates(["bench_id", "g"]))
+    return (corpus.join(bench, "g")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("n_shared_ngrams"),
+                 F.countDistinct("bench_id").cast("bigint")
+                 .alias("n_benchmark_docs")))
+
+
+def sql_curation_contamination(n: int = 8, bench_mod: int = 17) -> str:
+    # generate_series(1, negative) as a SCALAR list function returns []
+    # (verified), so short docs contribute no grams — matching the Spark
+    # side's explicit when() guard
+    return f"""
+WITH docs AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS words FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         UNNEST(LIST_DISTINCT([ARRAY_TO_STRING(words[i:i+{n - 1}], ' ')
+                               FOR i IN GENERATE_SERIES(1, LEN(words) - {n - 1})]))
+           AS g
+  FROM docs
+),
+corpus AS (SELECT * FROM grams WHERE doc_id % {bench_mod} != 0),
+bench AS (SELECT doc_id AS bench_id, g FROM grams
+          WHERE doc_id % {bench_mod} = 0)
+SELECT c.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams,
+       CAST(COUNT(DISTINCT b.bench_id) AS BIGINT) AS n_benchmark_docs
+FROM corpus c JOIN bench b USING (g)
+GROUP BY c.doc_id
+"""
+
+
+def pack_manifest(spark: SparkSession, sf_dir: str,
+                  budget: int = 2048) -> DataFrame:
+    """Per-pack rollup of :func:`pack_sequences_sharded` — the manifest a
+    training loader actually consumes: one row per (lang, pack) with its
+    document count, token mass and first document. Map-side-combinable
+    aggregation over the packing output; no additional windows."""
+    packs = pack_sequences_sharded(spark, sf_dir, budget=budget)
+    return (packs.groupBy("lang", "pack_id")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+                 F.min("doc_id").alias("first_doc_id")))
+
+
+def sql_pack_manifest(budget: int = 2048) -> str:
+    return f"""
+WITH packs AS ({sql_pack_sequences(budget=budget)})
+SELECT lang, pack_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+       MIN(doc_id) AS first_doc_id
+FROM packs GROUP BY lang, pack_id
+"""
+
+
 def dedup_keep_best(spark: SparkSession, sf_dir: str, n: int = 2,
                     threshold: float = 0.2) -> DataFrame:
     """Keep-one-per-near-dup-cluster, quality-aware: for every cluster

@@ -203,6 +203,31 @@ ANALYTICS_ORACLE = {
 }
 
 
+# --- r05 late additions, appended PAST the driver window --------------------
+# Three further training-pipeline operators written after the r05 window
+# was frozen (the window test pins its exact membership, so adding them
+# to ANALYTICS_QUERIES would evict relational entries mid-round). All
+# three are DuckDB-oracled and mirror-checked by pytest now; hoist them
+# into the window next round exactly like the r04 late additions were
+# hoisted this round.
+TRAINING_QUERIES = {
+    "curation_mixture_sample": CU.curation_mixture_sample,
+    # n=4 for the witness: the synthetic fixture corpus shares almost no
+    # 8-grams (2 rows); production decontamination runs 8-13 grams and
+    # the operator takes n as a parameter
+    "curation_contamination": partial(CU.curation_contamination,
+                                      n=4, bench_mod=17),
+    "pack_manifest": partial(CU.pack_manifest, budget=2048),
+}
+
+TRAINING_ORACLE = {
+    "curation_mixture_sample": CU.sql_curation_mixture_sample(),
+    "curation_contamination": CU.sql_curation_contamination(n=4,
+                                                            bench_mod=17),
+    "pack_manifest": CU.sql_pack_manifest(budget=2048),
+}
+
+
 # Names that MUST sit inside the driver's correctness window (it checks the
 # first ~50 all_queries() entries in dict order; see CORRECTNESS_r02.json —
 # both prior rounds emitted exactly 50 rows cut in dict order). Round 2
@@ -219,6 +244,7 @@ def all_queries() -> dict:
     out.update(ANALYTICS_QUERIES)
     out.update(KG_QUERIES)
     out.update(RELATIONAL_QUERIES)
+    out.update(TRAINING_QUERIES)
     return out
 
 
@@ -226,6 +252,7 @@ def all_oracles() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(RELATIONAL_ORACLE)
     out.update(ANALYTICS_ORACLE)
+    out.update(TRAINING_ORACLE)
     return out
 
 

@@ -68,3 +68,51 @@ def test_pack_sequences_sharded_no_global_window(spark):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     # the per-row running sum must key on both columns
     assert "shard" in plan
+
+
+def test_mixture_sample_is_nested_and_deterministic(spark):
+    """Raising a source's rate must strictly GROW its sample (the nested
+    property that lets a pipeline re-weight a mixture without churning
+    already-selected docs), and two runs must select identical docs."""
+    lo = CU.curation_mixture_sample(spark, SF001,
+                                    rates={}, default_rate=0.25)
+    hi = CU.curation_mixture_sample(spark, SF001,
+                                    rates={}, default_rate=0.5)
+    lo_ids = {r.doc_id for r in lo.collect()}
+    hi_ids = {r.doc_id for r in hi.collect()}
+    assert lo_ids <= hi_ids and len(lo_ids) < len(hi_ids)
+    again = {r.doc_id for r in CU.curation_mixture_sample(
+        spark, SF001, rates={}, default_rate=0.25).collect()}
+    assert again == lo_ids
+    # the realized rate is near the target (hash uniformity sanity)
+    total = spark.read.parquet(SF001 + "/documents.parquet").count()
+    assert abs(len(lo_ids) / total - 0.25) < 0.08
+
+
+def test_contamination_flags_known_overlaps(spark):
+    """A corpus doc sharing an 8-gram with a benchmark doc must be
+    flagged; construct certainty by checking against a brute-force
+    python reference on the fixture corpus."""
+    import pandas as pd
+
+    got = {r.doc_id: (r.n_shared_ngrams, r.n_benchmark_docs)
+           for r in CU.curation_contamination(
+               spark, SF001, n=4, bench_mod=17).collect()}
+    docs = pd.read_parquet(SF001 + "/documents.parquet")
+
+    def grams(text, n=4):
+        w = text.split(" ")
+        return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+    bench = {int(r.doc_id): grams(r.text)
+             for r in docs.itertuples() if r.doc_id % 17 == 0}
+    want = {}
+    for r in docs.itertuples():
+        if r.doc_id % 17 == 0:
+            continue
+        g = grams(r.text)
+        shared = sum(len(g & bg) for bg in bench.values())
+        ndocs = sum(1 for bg in bench.values() if g & bg)
+        if shared:
+            want[int(r.doc_id)] = (shared, ndocs)
+    assert got == want and want
