@@ -398,3 +398,42 @@ SELECT cluster_id,
        CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM scored GROUP BY cluster_id
 """
+
+
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style rule-based pre-filter (Raffel et al. 2020 §2.2 adapted to
+    the single-line synthetic corpus): per-document boolean reasons plus
+    the final keep decision, so a pipeline can both filter AND report
+    per-rule drop rates. Pure whole-stage-codegen built-ins — at 100 TB
+    this is a map-only pass that Catalyst folds into the scan."""
+    d = read_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words).cast("double")
+    avg_len = (F.expr("aggregate(split(text, ' '), 0L, "
+                      "(a, x) -> a + length(x))").cast("double") / n)
+    distinct_ratio = F.size(F.array_distinct(words)).cast("double") / n
+    return (d.select(
+        "doc_id",
+        (n < 10).alias("too_short"),
+        (distinct_ratio < 0.3).alias("low_diversity"),
+        ((avg_len < 2.0) | (avg_len > 12.0)).alias("bad_word_len"))
+        .withColumn("keep", ~F.col("too_short") & ~F.col("low_diversity")
+                    & ~F.col("bad_word_len")))
+
+
+SQL_QUALITY_FILTER = """
+WITH f AS (
+  SELECT doc_id,
+         CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) AS n,
+         CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE) AS nd,
+         CAST(LIST_SUM(LIST_TRANSFORM(STRING_SPLIT(text, ' '),
+                                      x -> LENGTH(x))) AS DOUBLE) AS chars
+  FROM documents)
+SELECT doc_id,
+       n < 10 AS too_short,
+       nd / n < 0.3 AS low_diversity,
+       (chars / n < 2.0 OR chars / n > 12.0) AS bad_word_len,
+       NOT (n < 10) AND NOT (nd / n < 0.3)
+           AND NOT (chars / n < 2.0 OR chars / n > 12.0) AS keep
+FROM f
+"""

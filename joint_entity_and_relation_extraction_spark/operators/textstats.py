@@ -196,3 +196,189 @@ SELECT doc_id, MD5(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')) AS norm_fp,
        CAST(FLOOR(LENGTH(text) / 100) * 100 AS BIGINT) AS len_bucket
 FROM documents
 """
+
+
+def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1, adapted to
+    word level for the single-line synthetic corpus): fraction of the
+    document taken by its most frequent word, duplicate-word fraction,
+    and duplicate-2-gram fraction. The top-word count needs a per-word
+    tally, done as explode → two-level groupBy (map-side combinable at
+    100 TB: (doc_id, word) keys are near-unique so partial aggregation
+    collapses most rows before the shuffle); the 2-gram distinct ratio
+    never leaves the words array (zip_with + array_distinct, whole-stage
+    codegen, zero extra shuffle)."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", _words().alias("ws"))
+    counts = (d.select("doc_id", F.explode("ws").alias("w"))
+              .groupBy("doc_id", "w").agg(F.count("*").alias("c")))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.max("c").alias("top_c"),
+        F.sum("c").alias("n_words"),
+        F.count("*").alias("n_distinct"))
+    grams = d.select(
+        "doc_id",
+        F.size("ws").alias("n"),
+        F.size(F.array_distinct(F.expr(
+            "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1), "
+            "(a, b) -> concat(a, ' ', b))"))).alias("d2"))
+    return (per_doc.join(grams, "doc_id")
+            .select(
+                "doc_id",
+                F.col("n_words").cast("bigint").alias("n_words"),
+                F.round(F.col("top_c").cast("double") / F.col("n_words"), 6)
+                .alias("top_word_frac"),
+                F.round(F.lit(1.0) - F.col("n_distinct").cast("double")
+                        / F.col("n_words"), 6).alias("dup_word_frac"),
+                F.round(F.when(F.col("n") > 1,
+                               F.lit(1.0) - F.col("d2").cast("double")
+                               / (F.col("n") - 1)).otherwise(0.0), 6)
+                .alias("dup_2gram_frac")))
+
+
+SQL_REPETITION_SCORES = """
+WITH w AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w
+           FROM documents),
+c AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY 1, 2),
+pd AS (SELECT doc_id, MAX(c) AS top_c,
+              CAST(SUM(c) AS BIGINT) AS n_words,
+              COUNT(*) AS n_distinct
+       FROM c GROUP BY 1),
+g AS (SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS n,
+             LEN(LIST_DISTINCT(LIST_TRANSFORM(
+                 RANGE(1, LEN(STRING_SPLIT(text, ' '))),
+                 i -> STRING_SPLIT(text, ' ')[i] || ' '
+                      || STRING_SPLIT(text, ' ')[i + 1]))) AS d2
+      FROM documents)
+SELECT pd.doc_id, pd.n_words,
+       ROUND(CAST(top_c AS DOUBLE) / n_words, 6) AS top_word_frac,
+       ROUND(1 - CAST(n_distinct AS DOUBLE) / n_words, 6) AS dup_word_frac,
+       ROUND(CASE WHEN g.n > 1
+                  THEN 1 - CAST(d2 AS DOUBLE) / (g.n - 1)
+                  ELSE 0.0 END, 6) AS dup_2gram_frac
+FROM pd JOIN g ON pd.doc_id = g.doc_id
+"""
+
+
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram language-model scoring — the cheap perplexity proxy
+    used as a quality filter (CCNet-style, Wenzek et al. 2019): train
+    word → count over the WHOLE corpus, then score each document by the
+    mean negative log2 probability of its word occurrences. Two
+    shuffles total (word tally, per-doc mean); the LM join is a plain
+    equi-join — broadcast it when the vocabulary fits (fixture scale),
+    shuffle-join when a 100 TB corpus's vocabulary doesn't. The scalar
+    corpus total stays in-plan via a broadcast single-row cross join
+    (no driver collect)."""
+    w = (read_table(spark, sf_dir, "documents")
+         .select("doc_id", F.explode(_words()).alias("w")))
+    lm = w.groupBy("w").agg(F.count("*").alias("c"))
+    tot = w.groupBy().agg(F.count("*").alias("tot"))
+    scored = (w.join(lm, "w")
+              .crossJoin(F.broadcast(tot))
+              .select("doc_id", (F.log2("tot") - F.log2("c")).alias("nlp")))
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_words"),
+        F.round(F.avg("nlp"), 6).alias("avg_neg_log2p"))
+
+
+SQL_UNIGRAM_LOGPROB = """
+WITH w AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w
+           FROM documents),
+lm AS (SELECT w, COUNT(*) AS c FROM w GROUP BY 1),
+t AS (SELECT COUNT(*) AS tot FROM w)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       ROUND(AVG(LOG2(t.tot) - LOG2(lm.c)), 6) AS avg_neg_log2p
+FROM w JOIN lm USING (w), t
+GROUP BY doc_id
+"""
+
+
+#: ASCII-only classes on purpose: Java regex \d and RE2 \d are both
+#: ASCII, so the same pattern string means the same thing to both engines
+_PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_PHONE_RE = r"[0-9]{3}-[0-9]{4}"
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction counts (emails, phone-shaped numbers).
+    The synthetic corpus carries no PII, so the witness first splices
+    deterministic synthetic PII into a slice of the documents (same
+    expression on both engines) — the operator under test is the
+    count + redact stage: regexp_extract_all for per-kind counts,
+    chained regexp_replace for the redacted text (returned as its md5 so
+    the row stays scalar-hashable). Pure whole-stage-codegen built-ins;
+    at 100 TB this is a map-only pass with no shuffle."""
+    d = read_table(spark, sf_dir, "documents")
+    t2 = (F.when(F.col("doc_id") % 3 == 0,
+                 F.concat("text", F.lit(" contact u"),
+                          F.col("doc_id").cast("string"),
+                          F.lit("@example.com")))
+          .otherwise(F.col("text")))
+    t2 = (F.when(F.col("doc_id") % 5 == 0,
+                 F.concat(t2, F.lit(" call 555-01"),
+                          F.lpad((F.col("doc_id") % 100).cast("string"),
+                                 2, "0")))
+          .otherwise(t2))
+    redacted = F.regexp_replace(
+        F.regexp_replace(t2, _PII_EMAIL_RE, "<EMAIL>"),
+        _PII_PHONE_RE, "<PHONE>")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t2, F.lit(_PII_EMAIL_RE), 0))
+        .cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all(t2, F.lit(_PII_PHONE_RE), 0))
+        .cast("bigint").alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"))
+
+
+SQL_PII_SCRUB = f"""
+WITH t1 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' contact u' || CAST(doc_id AS VARCHAR)
+                   || '@example.com'
+              ELSE text END AS t2a
+  FROM documents),
+t AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN t2a || ' call 555-01'
+                   || LPAD(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+              ELSE t2a END AS t2
+  FROM t1)
+SELECT doc_id,
+       CAST(LEN(REGEXP_EXTRACT_ALL(t2, '{_PII_EMAIL_RE}')) AS BIGINT)
+           AS n_emails,
+       CAST(LEN(REGEXP_EXTRACT_ALL(t2, '{_PII_PHONE_RE}')) AS BIGINT)
+           AS n_phones,
+       MD5(REGEXP_REPLACE(REGEXP_REPLACE(t2, '{_PII_EMAIL_RE}', '<EMAIL>',
+                                         'g'),
+                          '{_PII_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+FROM t
+"""
+
+
+def length_histogram(spark: SparkSession, sf_dir: str,
+                     bucket: int = 64) -> DataFrame:
+    """Sequence-length distribution — the histogram a packing/curriculum
+    stage reads before choosing context budgets. Integer-div bucketing
+    (no float), single map-side-combinable groupBy."""
+    d = read_table(spark, sf_dir, "documents")
+    return (d.select(F.expr(f"n_chars div {bucket}").alias("len_bucket"),
+                     "n_chars")
+            .groupBy("len_bucket")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.min("n_chars").alias("min_chars"),
+                 F.max("n_chars").alias("max_chars"),
+                 F.round(F.avg("n_chars"), 6).alias("avg_chars")))
+
+
+def sql_length_histogram(bucket: int = 64) -> str:
+    return f"""
+SELECT n_chars // {bucket} AS len_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+       ROUND(AVG(n_chars), 6) AS avg_chars
+FROM documents GROUP BY 1
+"""

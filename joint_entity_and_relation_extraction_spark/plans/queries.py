@@ -1326,6 +1326,52 @@ def q_agg_approx_percentile(spark, sf):
                    .alias(f"p{p}") for p in (25, 50, 95)]))
 
 
+def q_agg_stats_funcs(spark, sf):
+    """Statistical aggregates: corr / covar / stddev / variance plus
+    skewness and excess kurtosis per group. Spark's skewness/kurtosis
+    are the POPULATION moments (g1 and g2−3; DuckDB's built-ins apply
+    the sample bias correction, a different statistic), so the oracle
+    reproduces them from raw power sums — verified equal to ~1e-13
+    before rounding. All map-side-combinable aggregations."""
+    li = read_table(spark, sf, "lineitem")
+    q = F.col("l_quantity").cast("double")
+    p = F.col("l_extendedprice").cast("double")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.corr(q, p), 6).alias("corr_qty_price"),
+                 F.round(F.covar_samp(q, p), 6).alias("covar_qty_price"),
+                 F.round(F.stddev_samp(q), 6).alias("stddev_qty"),
+                 F.round(F.var_pop(q), 6).alias("varpop_qty"),
+                 F.round(F.skewness(q), 6).alias("skew_qty"),
+                 F.round(F.kurtosis(q), 6).alias("kurt_qty")))
+
+
+SQL_AGG_STATS_FUNCS = """
+WITH m AS (
+  SELECT l_returnflag,
+         CORR(CAST(l_quantity AS DOUBLE),
+              CAST(l_extendedprice AS DOUBLE)) AS corr_qp,
+         COVAR_SAMP(CAST(l_quantity AS DOUBLE),
+                    CAST(l_extendedprice AS DOUBLE)) AS covar_qp,
+         STDDEV_SAMP(CAST(l_quantity AS DOUBLE)) AS sd_q,
+         VAR_POP(CAST(l_quantity AS DOUBLE)) AS vp_q,
+         AVG(CAST(l_quantity AS DOUBLE)) AS e1,
+         AVG(POW(CAST(l_quantity AS DOUBLE), 2)) AS e2,
+         AVG(POW(CAST(l_quantity AS DOUBLE), 3)) AS e3,
+         AVG(POW(CAST(l_quantity AS DOUBLE), 4)) AS e4
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag,
+       ROUND(corr_qp, 6) AS corr_qty_price,
+       ROUND(covar_qp, 6) AS covar_qty_price,
+       ROUND(sd_q, 6) AS stddev_qty,
+       ROUND(vp_q, 6) AS varpop_qty,
+       ROUND((e3 - 3 * e1 * e2 + 2 * POW(e1, 3))
+             / POW(e2 - e1 * e1, 1.5), 6) AS skew_qty,
+       ROUND((e4 - 4 * e1 * e3 + 6 * e1 * e1 * e2 - 3 * POW(e1, 4))
+             / POW(e2 - e1 * e1, 2) - 3, 6) AS kurt_qty
+FROM m
+"""
+
+
 # --- registry ---------------------------------------------------------------
 
 RELATIONAL_QUERIES = {
@@ -1419,6 +1465,10 @@ RELATIONAL_QUERIES = {
     # already have driver rows from r01/r02 and ±σ pytest bands
     "agg_approx_distinct": q_agg_approx_distinct,
     "sample_frac": q_sample_frac,
+    # new in r05 (post-window-freeze) — appended past the window per the
+    # CLAUDE.md ordering invariant; oracled + mirror-checked now, hoist
+    # for a driver row next round
+    "agg_stats_funcs": q_agg_stats_funcs,
 }
 
 RELATIONAL_ORACLE = {
@@ -1475,6 +1525,7 @@ RELATIONAL_ORACLE = {
     "unpivot_measures": SQL_UNPIVOT_MEASURES,
     "join_range_bucketed": SQL_JOIN_RANGE_BUCKETED,
     "higher_order_funcs": SQL_HIGHER_ORDER_FUNCS,
+    "agg_stats_funcs": SQL_AGG_STATS_FUNCS,
     # sample_stratified: engine-specific RNG → rows-only (bounded pytest)
     # approx_distinct / sample_frac: deliberately no oracle (nondeterministic
     # vs exact SQL) → driver rows-only check (bounded pytest checks in

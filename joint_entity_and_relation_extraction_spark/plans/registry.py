@@ -218,6 +218,12 @@ TRAINING_QUERIES = {
     "curation_contamination": partial(CU.curation_contamination,
                                       n=4, bench_mod=17),
     "pack_manifest": partial(CU.pack_manifest, budget=2048),
+    # second r05 batch — Gopher/C4/CCNet-style quality + PII + histogram
+    "text_repetition": TS.repetition_scores,
+    "text_unigram_logprob": TS.unigram_logprob,
+    "text_pii_scrub": TS.pii_scrub,
+    "text_length_histogram": partial(TS.length_histogram, bucket=64),
+    "curation_quality_filter": CU.quality_filter,
 }
 
 TRAINING_ORACLE = {
@@ -225,6 +231,11 @@ TRAINING_ORACLE = {
     "curation_contamination": CU.sql_curation_contamination(n=4,
                                                             bench_mod=17),
     "pack_manifest": CU.sql_pack_manifest(budget=2048),
+    "text_repetition": TS.SQL_REPETITION_SCORES,
+    "text_unigram_logprob": TS.SQL_UNIGRAM_LOGPROB,
+    "text_pii_scrub": TS.SQL_PII_SCRUB,
+    "text_length_histogram": TS.sql_length_histogram(bucket=64),
+    "curation_quality_filter": CU.SQL_QUALITY_FILTER,
 }
 
 
