@@ -209,7 +209,11 @@ def dedup_index_handler(index_root: str, docs_root: str, pairs_root: str,
                    & (F.col("a.doc_id") != F.col("b.doc_id")))
             .select(F.least("a.doc_id", "b.doc_id").alias("d1"),
                     F.greatest("a.doc_id", "b.doc_id").alias("d2"))
-            .dropDuplicates(["d1", "d2"]))
+            .dropDuplicates(["d1", "d2"])
+            # tiny, but referenced by BOTH cand_docs and the pairs join —
+            # checkpoint so the band-probe join runs once per micro-batch
+            # (same fix as the batch minhash_incremental_pairs path)
+            .localCheckpoint(eager=False))
         corpus = (il.read(spark, docs_root).select("doc_id", "text")
                   if il.exists(docs_root) else new_docs.limit(0))
         # exact-Jaccard verify touches ONLY candidate documents: shingling
