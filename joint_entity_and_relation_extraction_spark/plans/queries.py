@@ -1326,6 +1326,47 @@ def q_agg_approx_percentile(spark, sf):
                    .alias(f"p{p}") for p in (25, 50, 95)]))
 
 
+def q_stream_interval_join_batch(spark, sf):
+    """View→purchase attribution via an event-time INTERVAL JOIN — the
+    driver-gradable witness for the stream-stream join semantics of
+    streaming.ingest.recrawl_interval_join (same condition shape: equi
+    key + bounded time range, which is what lets the streaming state
+    store evict): for each purchase, the views by the same user in the
+    30 minutes before it. Epoch seconds via FLOOR on both engines
+    (events carry fractional-second timestamps; Spark's long cast
+    truncates, DuckDB's rounds — the session-batch witness rule)."""
+    e = read_table(spark, sf, "events")
+    v = (e.filter(F.col("event_type") == "view")
+         .select(F.col("user_id").alias("v_user"),
+                 F.col("ts").alias("v_ts")))
+    p = (e.filter(F.col("event_type") == "purchase")
+         .select("event_id", "user_id", F.col("ts").alias("p_ts")))
+    j = p.join(v, (p["user_id"] == v["v_user"])
+               & (v["v_ts"] <= p["p_ts"])
+               & (v["v_ts"] > p["p_ts"] - F.expr("interval 30 minutes")))
+    return (j.groupBy(F.col("event_id").alias("purchase_id"), "user_id")
+            .agg(F.count("*").alias("n_views_30m"),
+                 F.min(p["p_ts"].cast("timestamp").cast("long")
+                       - v["v_ts"].cast("timestamp").cast("long"))
+                 .alias("last_view_gap_s")))
+
+
+SQL_STREAM_INTERVAL_JOIN_BATCH = """
+SELECT p.event_id AS purchase_id, p.user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_views_30m,
+       MIN(CAST(FLOOR(EPOCH(p.ts)) AS BIGINT)
+           - CAST(FLOOR(EPOCH(v.ts)) AS BIGINT)) AS last_view_gap_s
+FROM events p
+JOIN events v
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view'
+ AND v.ts <= p.ts
+ AND v.ts > p.ts - INTERVAL 30 MINUTE
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id
+"""
+
+
 def q_agg_stats_funcs(spark, sf):
     """Statistical aggregates: corr / covar / stddev / variance plus
     skewness and excess kurtosis per group. Spark's skewness/kurtosis
@@ -1469,6 +1510,7 @@ RELATIONAL_QUERIES = {
     # CLAUDE.md ordering invariant; oracled + mirror-checked now, hoist
     # for a driver row next round
     "agg_stats_funcs": q_agg_stats_funcs,
+    "stream_interval_join_batch": q_stream_interval_join_batch,
 }
 
 RELATIONAL_ORACLE = {
@@ -1526,6 +1568,7 @@ RELATIONAL_ORACLE = {
     "join_range_bucketed": SQL_JOIN_RANGE_BUCKETED,
     "higher_order_funcs": SQL_HIGHER_ORDER_FUNCS,
     "agg_stats_funcs": SQL_AGG_STATS_FUNCS,
+    "stream_interval_join_batch": SQL_STREAM_INTERVAL_JOIN_BATCH,
     # sample_stratified: engine-specific RNG → rows-only (bounded pytest)
     # approx_distinct / sample_frac: deliberately no oracle (nondeterministic
     # vs exact SQL) → driver rows-only check (bounded pytest checks in

@@ -122,6 +122,32 @@ def stream_static_enrich(pages: DataFrame, dim: DataFrame) -> DataFrame:
     return pages.join(F.broadcast(dim), "lang", "left")
 
 
+def recrawl_interval_join(crawls: DataFrame, recrawls: DataFrame,
+                          horizon: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """STREAM-STREAM interval join: pair each crawl with re-crawls of the
+    same url landing within ``horizon`` AFTER it. Both sides carry a
+    watermark and the join condition bounds event time in BOTH
+    directions — exactly what Spark's state store needs to evict
+    buffered rows (an unbounded condition would grow join state
+    forever; with the bound, each side's state is
+    O(rate x (watermark + horizon))). Equality with the equivalent
+    batch self-join when no row is late is pytest-pinned
+    (tests/test_streaming.py)."""
+    a = (crawls.withWatermark("warc_ts", watermark)
+         .select(F.col("url").alias("a_url"),
+                 F.col("warc_ts").alias("a_ts"),
+                 F.col("lang").alias("a_lang")))
+    b = (recrawls.withWatermark("warc_ts", watermark)
+         .select(F.col("url").alias("b_url"),
+                 F.col("warc_ts").alias("b_ts")))
+    return (a.join(
+        b, (F.col("a_url") == F.col("b_url"))
+        & (F.col("b_ts") > F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr(f"interval {horizon}")))
+        .select(F.col("a_url").alias("url"), "a_lang", "a_ts", "b_ts"))
+
+
 def batch_extract_handler(table_root: str):
     """The foreachBatch body of SNK3, exposed for direct testing.
 

@@ -371,3 +371,25 @@ def test_redelivered_url_is_noop(spark, tmp_path):
                              for i in range(20)]
     handler(spark.createDataFrame(mixed), 2)
     assert il.read(spark, roots["docs"]).count() == n_docs + 20
+
+
+def test_stream_stream_interval_join_matches_batch(spark, late_chunks):
+    """STREAM-STREAM watermarked interval join (crawl x recrawl of the
+    same url within 1h). With availableNow over the chunk drops, every
+    on-time pair must appear; pairs whose crawl side was delivered
+    ~2.5h late (beyond the 2h watermark) MAY be dropped by state
+    eviction — so: batch-minus-late <= streamed <= batch."""
+    d, info = late_chunks
+    a = S.read_page_stream(spark, d)
+    b = S.read_page_stream(spark, d)
+    got = _run_to_memory(spark, S.recrawl_interval_join(a, b), "ssjoin")
+    got_set = {(r.url, r.a_ts, r.b_ts) for r in got.collect()}
+    batch = spark.read.parquet(d)
+    # same operator, batch DataFrames: withWatermark is a no-op in batch,
+    # so this is the exact-join reference
+    want_all = {(r.url, r.a_ts, r.b_ts)
+                for r in S.recrawl_interval_join(batch, batch).collect()}
+    late = set(info["late_urls"])
+    want_ontime = {t for t in want_all if t[0] not in late}
+    assert want_ontime, "fixture should contain on-time recrawl pairs"
+    assert want_ontime <= got_set <= want_all
