@@ -490,6 +490,92 @@ def neardup_clusters(spark: SparkSession, sf_dir: str, n: int = 2,
                          F.col("component").alias("cluster_id"))
 
 
+def merge_cluster_labels(labels: DataFrame, new_pairs: DataFrame) -> DataFrame:
+    """Incrementally fold a batch of near-dup pairs into an existing
+    (doc_id, cluster_id) labeling WITHOUT recomputing CC over the corpus
+    — the cluster-maintenance half of the production ingest story
+    (minhash_incremental_pairs / streaming dedup_stream produce the
+    batch pairs; this keeps the persisted cluster table current).
+
+    Key fact: existing clusters are already internally connected, so a
+    new pair can only MERGE whole clusters (or attach new docs) — no
+    stored edges are needed. Map each batch endpoint to its current
+    label (its own id if unlabeled), run CC on the tiny label-graph of
+    the batch (O(batch) nodes, not O(corpus)), then relabel exactly the
+    docs whose cluster is in a merged group. Labels stay
+    min-doc_id-canonical, so the result is IDENTICAL to a full CC over
+    (old pairs ∪ batch pairs) — hash-checked against the recursive-CTE
+    clusters oracle via clusters_incremental, and pytest-pinned.
+
+    Per-batch cost: one join of the batch endpoints against the label
+    table (id-keyed, prunable), CC on the batch-sized label graph, and
+    a relabel join touching only merged clusters."""
+    from .canonicalize import connected_components
+
+    ep = (new_pairs.select(F.col("d1").alias("doc_id"))
+          .union(new_pairs.select(F.col("d2").alias("doc_id")))
+          .distinct())
+    cur = (ep.join(labels, "doc_id", "left")
+           .select("doc_id",
+                   F.coalesce("cluster_id", "doc_id").alias("label"))
+           .localCheckpoint(eager=False))
+    lp = (new_pairs
+          .join(cur.select(F.col("doc_id").alias("d1"),
+                           F.col("label").alias("l1")), "d1")
+          .join(cur.select(F.col("doc_id").alias("d2"),
+                           F.col("label").alias("l2")), "d2")
+          .select(F.col("l1").alias("src"), F.col("l2").alias("dst"))
+          .filter(F.col("src") != F.col("dst"))
+          .distinct())
+    # merged: old-label -> new component (min of the merged labels; since
+    # every label is the min doc id of its cluster, that min is the min
+    # doc id of the merged component — canonical form preserved)
+    merged = (connected_components(lp)
+              .select(F.col("node").alias("old_label"),
+                      F.col("component").alias("new_label"))
+              .localCheckpoint(eager=False))
+    untouched = labels.join(
+        merged.select(F.col("old_label").alias("cluster_id")),
+        "cluster_id", "left_anti")
+    relabeled = (labels
+                 .join(merged, labels["cluster_id"] == merged["old_label"])
+                 .select("doc_id", F.col("new_label").alias("cluster_id")))
+    # endpoints with no prior label: new docs entering via this batch —
+    # every one appears in the label graph (an unlabeled endpoint's label
+    # is its unique doc id, so its pair edge can never self-loop away)
+    fresh = (cur.join(labels, "doc_id", "left_anti")
+             .join(merged, cur["label"] == merged["old_label"], "left")
+             .select("doc_id",
+                     F.coalesce("new_label", "label").alias("cluster_id")))
+    return untouched.unionByName(relabeled).unionByName(fresh)
+
+
+def clusters_incremental(spark: SparkSession, sf_dir: str, n: int = 2,
+                         threshold: float = 0.2, mod: int = 5) -> DataFrame:
+    """Witness for :func:`merge_cluster_labels`: split ``documents`` into
+    an existing corpus (doc_id % mod != 0) and a new batch (== 0),
+    label the old corpus with batch CC over the old-old pairs, then fold
+    the pairs touching the new batch in incrementally. old-old ∪
+    touching-new partitions the full pair set, so the result must equal
+    the from-scratch :func:`neardup_clusters` — which is exactly the
+    oracle it is hash-checked against (same recursive-CTE SQL)."""
+    pairs = (ngram_jaccard_pairs(spark, sf_dir, n=n, threshold=threshold)
+             .select("d1", "d2")
+             .localCheckpoint(eager=False))
+    is_new1 = (F.col("d1") % mod) == 0
+    is_new2 = (F.col("d2") % mod) == 0
+    old_pairs = pairs.filter(~is_new1 & ~is_new2)
+    new_pairs = pairs.filter(is_new1 | is_new2)
+    from .canonicalize import connected_components
+
+    old_labels = (connected_components(
+        old_pairs.select(F.col("d1").alias("src"),
+                         F.col("d2").alias("dst")))
+        .select(F.col("node").alias("doc_id"),
+                F.col("component").alias("cluster_id")))
+    return merge_cluster_labels(old_labels, new_pairs)
+
+
 def sql_neardup_clusters(n: int = 2, threshold: float = 0.2) -> str:
     """Recursive-CTE oracle: transitive closure over the pair graph, then
     min reachable id per node."""

@@ -228,6 +228,12 @@ TRAINING_QUERIES = {
     # graph analytics over the near-dup pair graph: degrees exactly
     # oracled; pagerank is an iterative DataFrame algorithm (float-sum
     # order nondeterminism → rows-only; python-reference parity pytest)
+    # incremental cluster maintenance: old-slice labels + batch pairs
+    # folded via merge_cluster_labels must equal the from-scratch CC —
+    # hash-checked against the SAME recursive-CTE oracle as
+    # dedup_clusters
+    "dedup_clusters_incremental": partial(DD.clusters_incremental,
+                                          n=2, threshold=0.2),
     "graph_degrees": GR.graph_degrees,
     # 5 iterations for the witness: each power iteration is a sequential
     # join+agg stage pair, pure scheduler overhead on a 47-node fixture
@@ -246,6 +252,8 @@ TRAINING_ORACLE = {
     "text_length_histogram": TS.sql_length_histogram(bucket=64),
     "curation_quality_filter": CU.SQL_QUALITY_FILTER,
     "graph_degrees": GR.sql_graph_degrees(n=2, threshold=0.2),
+    "dedup_clusters_incremental": DD.sql_neardup_clusters(n=2,
+                                                          threshold=0.2),
 }
 
 

@@ -504,3 +504,24 @@ def test_ivf_skew_trigger_and_recluster(spark, tmp_path):
     assert got == want and got
     assert (SIM.ivf_list_skew(spark, new_root)
             < SIM.ivf_list_skew(spark, root))
+
+
+def test_merge_cluster_labels_multi_batch_fold(spark):
+    """Folding pairs in SEVERAL sequential batches through
+    merge_cluster_labels must converge to the same labeling as one
+    from-scratch CC — the associativity the production ingest loop
+    relies on (each micro-batch folds its own pairs)."""
+    from pyspark.sql import functions as F
+
+    pairs = DD.ngram_jaccard_pairs(spark, SF001, n=2, threshold=0.2) \
+        .select("d1", "d2").localCheckpoint()
+    # batch k = pairs whose min endpoint lands in residue class k (mod 3)
+    labels = spark.createDataFrame([], "doc_id long, cluster_id long")
+    for k in range(3):
+        batch = pairs.filter(F.least("d1", "d2") % 3 == k)
+        labels = DD.merge_cluster_labels(labels, batch).localCheckpoint()
+    got = {(r.doc_id, r.cluster_id) for r in labels.collect()}
+    want = {(r.doc_id, r.cluster_id)
+            for r in DD.neardup_clusters(spark, SF001,
+                                         n=2, threshold=0.2).collect()}
+    assert got == want
