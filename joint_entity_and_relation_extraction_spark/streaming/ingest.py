@@ -182,7 +182,8 @@ def extract_to_iceberg(pages: DataFrame, table_root: str,
 
 
 def dedup_index_handler(index_root: str, docs_root: str, pairs_root: str,
-                        n: int = 2, threshold: float = 0.2):
+                        n: int = 2, threshold: float = 0.2,
+                        labels_root: str | None = None):
     """foreachBatch body of the CONTINUOUS incremental-dedup sink: each
     micro-batch signatures only its own documents, probes the persisted
     band index for near-dup candidates against everything ingested so
@@ -272,19 +273,46 @@ def dedup_index_handler(index_root: str, docs_root: str, pairs_root: str,
             if tag not in il.committed_tags(root) and not df.isEmpty():
                 il.append(df.withColumn("batch_id", F.lit(batch_id)),
                           root, part, tag=tag)
+        if labels_root is not None:
+            _fold_labels(spark, pairs, labels_root)
 
     return handle
 
 
+def _fold_labels(spark: SparkSession, pairs: DataFrame,
+                 labels_root: str) -> None:
+    """CONTINUOUS cluster maintenance: fold the micro-batch's verified
+    pair set into the persisted (doc_id, cluster_id) table via
+    operators.dedup.merge_cluster_labels (CC on the batch-sized label
+    graph, relabel only merged clusters), then MERGE INTO on doc_id —
+    only changed/new rows upsert, so a batch that merges nothing
+    rewrites nothing. Folding is value-idempotent (re-folding the same
+    pairs changes no labels), so crash-replay needs no tag."""
+    from ..operators.dedup import merge_cluster_labels
+
+    cur = (il.read(spark, labels_root).select("doc_id", "cluster_id")
+           if il.exists(labels_root)
+           else spark.createDataFrame([], "doc_id long, cluster_id long"))
+    folded = merge_cluster_labels(cur, pairs.select("d1", "d2"))
+    changed = folded.join(cur, ["doc_id", "cluster_id"], "left_anti")
+    if not changed.isEmpty():
+        if il.exists(labels_root):
+            il.merge_upsert(spark, changed, labels_root, ["doc_id"])
+        else:  # first batch with pairs bootstraps the table
+            il.append(changed, labels_root, [])
+
+
 def dedup_stream(pages: DataFrame, index_root: str, docs_root: str,
                  pairs_root: str, checkpoint_dir: str, n: int = 2,
-                 threshold: float = 0.2):
+                 threshold: float = 0.2, labels_root: str | None = None):
     """Continuous incremental dedup: stream → foreachBatch probe+append
-    against the persisted band index (see :func:`dedup_index_handler`)."""
+    against the persisted band index (see :func:`dedup_index_handler`);
+    with ``labels_root``, also maintains the cluster table per batch."""
     return (
         pages.writeStream.foreachBatch(
             dedup_index_handler(index_root, docs_root, pairs_root,
-                                n=n, threshold=threshold))
+                                n=n, threshold=threshold,
+                                labels_root=labels_root))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )

@@ -281,10 +281,12 @@ def test_streaming_incremental_dedup_converges_to_batch(spark, tmp_path):
         c.to_parquet(os.path.join(d, f"{i:02d}.parquet"),
                      coerce_timestamps="us")
 
-    roots = {k: str(tmp_path / k) for k in ("index", "docs", "pairs")}
+    roots = {k: str(tmp_path / k)
+             for k in ("index", "docs", "pairs", "labels")}
     stream = S.read_page_stream(spark, d, max_files_per_trigger=1)
     q = S.dedup_stream(stream, roots["index"], roots["docs"],
-                       roots["pairs"], str(tmp_path / "ckpt")).start()
+                       roots["pairs"], str(tmp_path / "ckpt"),
+                       labels_root=roots["labels"]).start()
     q.awaitTermination(180)
 
     batch = (spark.read.parquet(d)
@@ -321,13 +323,34 @@ def test_streaming_incremental_dedup_converges_to_batch(spark, tmp_path):
         == batch.count()
     # crash-replay: rerun the last chunk by hand with its batch_id — tags
     # skip the appends, values converge, nothing double-counts
+    # continuous cluster maintenance: per-batch label folds must equal
+    # one from-scratch CC over the full emitted pair set
+    from joint_entity_and_relation_extraction_spark.operators.canonicalize import (
+        connected_components)
+
+    edge_df = spark.createDataFrame(
+        [(d1, d2) for (d1, d2, _) in want], "src long, dst long")
+    want_labels = {(r.node, r.component)
+                   for r in connected_components(edge_df).collect()}
+    got_labels = {(r.doc_id, r.cluster_id)
+                  for r in il.read(spark, roots["labels"])
+                  .select("doc_id", "cluster_id").collect()}
+    assert got_labels == want_labels
+    n_label_snaps = len(il.snapshots(roots["labels"]))
     last_tag = sorted(il.committed_tags(roots["pairs"]))[-1]
     last_id = int(last_tag.rsplit("-", 1)[-1])
     replay = spark.read.parquet(os.path.join(d, "02.parquet"))
-    S.dedup_index_handler(roots["index"], roots["docs"],
-                          roots["pairs"])(replay, last_id)
+    S.dedup_index_handler(roots["index"], roots["docs"], roots["pairs"],
+                          labels_root=roots["labels"])(replay, last_id)
     assert il.read(spark, roots["pairs"]).count() == len(got)
     assert len(il.snapshots(roots["index"])) == 3
+    # label fold is value-idempotent: replay changed nothing, so the
+    # empty-changed-set guard skipped the merge entirely
+    assert len(il.snapshots(roots["labels"])) == n_label_snaps
+    got_labels2 = {(r.doc_id, r.cluster_id)
+                   for r in il.read(spark, roots["labels"])
+                   .select("doc_id", "cluster_id").collect()}
+    assert got_labels2 == want_labels
 
 
 def test_redelivered_url_is_noop(spark, tmp_path):
