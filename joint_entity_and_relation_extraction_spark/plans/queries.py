@@ -1326,6 +1326,56 @@ def q_agg_approx_percentile(spark, sf):
                    .alias(f"p{p}") for p in (25, 50, 95)]))
 
 
+_ICEBERG_CLUSTER_CACHE: dict = {}
+
+
+def q_iceberg_cluster_scan(spark, sf):
+    """Sort-order rewrite (cluster_by) as a driver-gradable query (r05):
+    `orders` appended in four ARRIVAL-ORDER batches (every unit spans
+    the full o_totalprice range, so where_range can prove nothing),
+    then cluster_by(["o_totalprice"]) rewrites into range-disjoint
+    units — the same where_range scan now lists only the overlapping
+    units. Equality with the plain SQL filter proves the clustered
+    pruning lossless; tests/test_iceberglite.py pins that files ARE
+    skipped post-cluster and the data stays bit-identical."""
+    import shutil
+    import tempfile
+
+    from ..sources import iceberglite as il
+
+    key = (spark.sparkContext.applicationId, sf)
+    if key not in _ICEBERG_CLUSTER_CACHE:
+        if not _ICEBERG_CLUSTER_CACHE:
+            import atexit
+
+            atexit.register(lambda: [
+                shutil.rmtree(root, ignore_errors=True)
+                for root in _ICEBERG_CLUSTER_CACHE.values()])
+        for old in [k for k in _ICEBERG_CLUSTER_CACHE if k[0] != key[0]]:
+            shutil.rmtree(_ICEBERG_CLUSTER_CACHE.pop(old),
+                          ignore_errors=True)
+        o = read_table(spark, sf, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice")
+        root = tempfile.mkdtemp(prefix="jers-iceberg-cluster-")
+        for k in range(4):
+            il.append(o.filter(F.col("o_orderkey") % 4 == k), root, [],
+                      stats_cols=["o_totalprice"])
+        il.cluster_by(spark, root, ["o_totalprice"], n_units=8)
+        _ICEBERG_CLUSTER_CACHE[key] = root
+    root = _ICEBERG_CLUSTER_CACHE[key]
+    return (il.read(spark, root,
+                    where_range={"o_totalprice": (60_000.0, 140_000.0)})
+            .filter(F.col("o_totalprice").between(60_000.0, 140_000.0))
+            .select("o_orderkey", "o_custkey", "o_totalprice"))
+
+
+SQL_ICEBERG_CLUSTER_SCAN = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_totalprice BETWEEN 60000.0 AND 140000.0
+"""
+
+
 def q_stream_interval_join_batch(spark, sf):
     """View→purchase attribution via an event-time INTERVAL JOIN — the
     driver-gradable witness for the stream-stream join semantics of
@@ -1511,6 +1561,7 @@ RELATIONAL_QUERIES = {
     # for a driver row next round
     "agg_stats_funcs": q_agg_stats_funcs,
     "stream_interval_join_batch": q_stream_interval_join_batch,
+    "iceberg_cluster_scan": q_iceberg_cluster_scan,
 }
 
 RELATIONAL_ORACLE = {
@@ -1569,6 +1620,7 @@ RELATIONAL_ORACLE = {
     "higher_order_funcs": SQL_HIGHER_ORDER_FUNCS,
     "agg_stats_funcs": SQL_AGG_STATS_FUNCS,
     "stream_interval_join_batch": SQL_STREAM_INTERVAL_JOIN_BATCH,
+    "iceberg_cluster_scan": SQL_ICEBERG_CLUSTER_SCAN,
     # sample_stratified: engine-specific RNG → rows-only (bounded pytest)
     # approx_distinct / sample_frac: deliberately no oracle (nondeterministic
     # vs exact SQL) → driver rows-only check (bounded pytest checks in

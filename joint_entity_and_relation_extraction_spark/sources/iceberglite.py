@@ -507,6 +507,69 @@ def compact(spark: SparkSession, root: str) -> int:
     return snap_id
 
 
+def cluster_by(spark: SparkSession, root: str, sort_cols: list[str],
+               n_units: int = 8,
+               stats_cols: list[str] | None = None) -> int:
+    """Maintenance: sort-order rewrite (Iceberg ``rewrite_data_files``
+    with a sort order / Delta ``OPTIMIZE ZORDER BY`` analogue). Rewrites
+    the current snapshot range-partitioned on ``sort_cols`` into
+    ``n_units`` units with DISJOINT value ranges, so the per-unit
+    [min, max] bounds recorded in the manifest become selective: after
+    appends in arrival order every unit spans the whole value range and
+    ``where_range`` can prove nothing; after clustering a range
+    predicate prunes all but the overlapping units. This is what makes
+    column-stats skipping EFFECTIVE, not just correct — at 100 TB the
+    difference between listing every file and listing selectivity x
+    n_units of them.
+
+    Each range bucket lands in its own unit directory via a synthetic
+    ``_cluster_bucket=K`` path component (Spark's range partitioner
+    assigns contiguous, sorted, disjoint key ranges to partition ids);
+    the committed manifest schema is unchanged, and :func:`read`
+    projects every scan to it, so the synthetic component never appears
+    in query results. ``stats_cols`` defaults to ``sort_cols`` plus any
+    columns already carrying unit stats. Unpartitioned tables only (a
+    partitioned table's clustering unit is the partition — compact does
+    that); same validate-at-commit conflict rule as :func:`compact`."""
+    from pyspark.sql import functions as F
+
+    m = _load(root)
+    base = m["current_snapshot"]
+    if base is None:
+        raise ValueError(f"IcebergLite table {root} has never been written")
+    if m["partition_by"]:
+        raise ValueError("cluster_by supports unpartitioned tables; "
+                         "partitioned tables cluster per-partition via "
+                         "compact()")
+    want_stats = sorted(set(sort_cols) | set(stats_cols or [])
+                        | set(_stats_cols_of(m)))
+    df = read(spark, root, snapshot=base)
+    rdf = (df.repartitionByRange(n_units, *[F.col(c) for c in sort_cols])
+           .sortWithinPartitions(*sort_cols)
+           .withColumn("_cluster_bucket", F.spark_partition_id()))
+    new_units = _write_snapshot(rdf, root, _new_token(),
+                                ["_cluster_bucket"])
+    stats = _collect_unit_stats(root, new_units, want_stats)
+    with _meta_lock(root):
+        m = _load(root)
+        if m["current_snapshot"] != base:
+            raise CommitConflict(
+                f"table advanced {base} -> {m['current_snapshot']} during "
+                f"cluster_by; retry")
+        snap_id = _next_id(m)
+        if stats:
+            m.setdefault("unit_stats", {}).update(stats)
+        m["snapshots"].append({
+            "id": snap_id, "parent": base, "operation": "cluster",
+            "units": new_units, "added": new_units, "tag": None,
+            "schema": _schema_at(m, base),
+            "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        })
+        m["current_snapshot"] = snap_id
+        _commit(root, m)
+    return snap_id
+
+
 def merge_upsert(spark: SparkSession, updates: DataFrame, root: str,
                  key_cols: list[str],
                  stats_cols: list[str] | None = None) -> int:

@@ -465,3 +465,37 @@ def test_column_stats_range_pruning(spark, tbl):
     # composes with partition pruning
     both = il.read(spark, tbl, where={"k": "a"}, where_range={"v": (0, 10)})
     assert sorted(r.v for r in both.collect()) == [1, 9, 55]
+
+
+def test_cluster_by_makes_range_skipping_selective(spark, tmp_path):
+    """Sort-order rewrite: arrival-order appends each span the whole
+    value range (where_range can prove nothing); after cluster_by the
+    units carry disjoint [min, max] ranges and a range predicate lists
+    only the overlapping ones — with the data bit-identical, the scan
+    lossless, and time travel to the pre-cluster snapshot intact."""
+    root = str(tmp_path / "clustered")
+    o = spark.read.parquet(
+        "/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderkey", "o_totalprice")
+    for k in range(4):
+        il.append(o.filter(F.col("o_orderkey") % 4 == k), root, [],
+                  stats_cols=["o_totalprice"])
+    base = il.snapshots(root)[-1]["id"]
+    rng = {"o_totalprice": (60_000.0, 80_000.0)}
+    n_before = len(il.read(spark, root, where_range=rng).inputFiles())
+    assert n_before == 4  # every arrival-order unit overlaps the range
+    il.cluster_by(spark, root, ["o_totalprice"], n_units=8)
+    scan = il.read(spark, root, where_range=rng)
+    n_after = len(scan.inputFiles())
+    assert n_after < n_before  # stats now actually skip
+    # lossless: pruned scan + exact filter == plain filter on the source
+    flt = F.col("o_totalprice").between(60_000.0, 80_000.0)
+    assert (sorted(r.o_orderkey for r in scan.filter(flt).collect())
+            == sorted(r.o_orderkey for r in o.filter(flt).collect()))
+    # bit-identical data, schema unchanged (no synthetic column leaks)
+    cur = il.read(spark, root)
+    assert cur.columns == ["o_orderkey", "o_totalprice"]
+    assert cur.count() == o.count()
+    assert cur.exceptAll(o).isEmpty() and o.exceptAll(cur).isEmpty()
+    # time travel still sees the pre-cluster snapshot
+    assert il.read(spark, root, snapshot=base).count() == o.count()
