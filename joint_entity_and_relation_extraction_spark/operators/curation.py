@@ -437,3 +437,45 @@ SELECT doc_id,
            AND NOT (chars / n < 2.0 OR chars / n > 12.0) AS keep
 FROM f
 """
+
+
+def score_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language score standardization — mixture balancing needs
+    scores comparable ACROSS strata before global thresholds apply:
+    z-score and min-max of the curation quality score within each lang.
+    Grouped moments via one map-side-combinable aggregation broadcast
+    back onto the rows (two narrow passes, no window sort over a
+    stratum — the scale trap curation_select_sketch documents)."""
+    d = read_table(spark, sf_dir, "documents")
+    scored = d.select("doc_id", "lang", _score_col().alias("q_score"))
+    stats = scored.groupBy("lang").agg(
+        F.avg("q_score").alias("mu"),
+        F.stddev_pop("q_score").alias("sigma"),
+        F.min("q_score").alias("lo"),
+        F.max("q_score").alias("hi"))
+    j = scored.join(F.broadcast(stats), "lang")
+    return j.select(
+        "doc_id", "lang",
+        F.round(F.when(F.col("sigma") > 0,
+                       (F.col("q_score") - F.col("mu")) / F.col("sigma"))
+                .otherwise(0.0), 6).alias("z_score"),
+        F.round(F.when(F.col("hi") > F.col("lo"),
+                       (F.col("q_score") - F.col("lo"))
+                       / (F.col("hi") - F.col("lo")))
+                .otherwise(0.0), 6).alias("minmax_score"))
+
+
+SQL_SCORE_NORMALIZE = f"""
+WITH scored AS (
+  SELECT doc_id, lang, {_SCORE} AS q_score FROM documents),
+stats AS (
+  SELECT lang, AVG(q_score) AS mu, STDDEV_POP(q_score) AS sigma,
+         MIN(q_score) AS lo, MAX(q_score) AS hi
+  FROM scored GROUP BY lang)
+SELECT doc_id, scored.lang,
+       ROUND(CASE WHEN sigma > 0 THEN (q_score - mu) / sigma
+                  ELSE 0.0 END, 6) AS z_score,
+       ROUND(CASE WHEN hi > lo THEN (q_score - lo) / (hi - lo)
+                  ELSE 0.0 END, 6) AS minmax_score
+FROM scored JOIN stats ON scored.lang = stats.lang
+"""

@@ -382,3 +382,40 @@ SELECT n_chars // {bucket} AS len_bucket,
        ROUND(AVG(n_chars), 6) AS avg_chars
 FROM documents GROUP BY 1
 """
+
+
+def ngram_topk(spark: SparkSession, sf_dir: str, n: int = 2,
+               k: int = 50) -> DataFrame:
+    """Corpus-level top-k word n-grams by document frequency — the
+    heavy-hitter profile a curation pipeline reads before choosing
+    boilerplate filters and shingle df caps (dedup.MAX_SHINGLE_DF).
+    Distinct-per-doc explode → map-side-combinable count → global top-k
+    with a total tie order (count desc, gram asc) so the cut is
+    deterministic and oracle-equal. At 100 TB the count is a partial
+    agg and the top-k is a single bounded sort-limit (Spark's
+    TakeOrderedAndProject), not a full sort."""
+    d = read_table(spark, sf_dir, "documents")
+    grams = F.array_distinct(F.expr(
+        "zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), "
+        "slice(split(text, ' '), 2, size(split(text, ' ')) - 1), "
+        "(a, b) -> concat(a, ' ', b))")) if n == 2 else None
+    assert n == 2, "witness fixes n=2; generalize via _shingles_expr"
+    return (d.select(F.explode(grams).alias("gram"))
+            .groupBy("gram").agg(F.count("*").cast("bigint").alias("df"))
+            .orderBy(F.desc("df"), F.asc("gram"))
+            .limit(k))
+
+
+def sql_ngram_topk(k: int = 50) -> str:
+    return f"""
+WITH g AS (
+  SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+      RANGE(1, LEN(STRING_SPLIT(text, ' '))),
+      i -> STRING_SPLIT(text, ' ')[i] || ' '
+           || STRING_SPLIT(text, ' ')[i + 1]))) AS gram
+  FROM documents)
+SELECT gram, CAST(COUNT(*) AS BIGINT) AS df
+FROM g GROUP BY gram
+ORDER BY df DESC, gram ASC
+LIMIT {k}
+"""

@@ -225,6 +225,8 @@ TRAINING_QUERIES = {
     "text_pii_scrub": TS.pii_scrub,
     "text_length_histogram": partial(TS.length_histogram, bucket=64),
     "curation_quality_filter": CU.quality_filter,
+    "curation_score_normalize": CU.score_normalize,
+    "text_ngram_topk": partial(TS.ngram_topk, n=2, k=50),
     # graph analytics over the near-dup pair graph: degrees exactly
     # oracled; pagerank is an iterative DataFrame algorithm (float-sum
     # order nondeterminism → rows-only; python-reference parity pytest)
@@ -251,6 +253,8 @@ TRAINING_ORACLE = {
     "text_pii_scrub": TS.SQL_PII_SCRUB,
     "text_length_histogram": TS.sql_length_histogram(bucket=64),
     "curation_quality_filter": CU.SQL_QUALITY_FILTER,
+    "curation_score_normalize": CU.SQL_SCORE_NORMALIZE,
+    "text_ngram_topk": TS.sql_ngram_topk(k=50),
     "graph_degrees": GR.sql_graph_degrees(n=2, threshold=0.2),
     "dedup_clusters_incremental": DD.sql_neardup_clusters(n=2,
                                                           threshold=0.2),
