@@ -28,6 +28,12 @@ SHOW = [
     "pack_sequences",         # per-shard prefix-sum packing, one exchange
     "text_winnow_fingerprint",  # one exchange + one sort for two windows
     "stream_session_batch",   # session_window aggregation
+    # r05 second batch
+    "text_repetition",        # per-word tally partial agg + array-side grams
+    "text_ngram_topk",        # partial agg + TakeOrderedAndProject (no sort)
+    "stream_interval_join_batch",  # event-time interval join shape
+    "graph_degrees",          # symmetrized edges, map-side-combinable agg
+    "curation_score_normalize",    # grouped moments broadcast back, no window
 ]
 
 
