@@ -120,6 +120,8 @@ BENCH_QUERIES = [
     # r04 additions (new keys only — prior entries untouched so the
     # per-query series stays comparable across rounds)
     "dedup_minhash_incremental", "curation_select",
+    # r05 additions (same rule)
+    "text_repetition", "graph_degrees",
 ]
 
 

@@ -35,8 +35,11 @@ def graph_degrees(spark: SparkSession, sf_dir: str, n: int = 2,
     strategies (a node with degree 10^4 is a template page, not a
     near-dup). Single map-side-combinable aggregation over the
     symmetrized edge list."""
+    # checkpoint: _sym_edges unions two selects over the SAME pair
+    # subtree — without this the shingle equi-join executes twice
     edges = _sym_edges(ngram_jaccard_pairs(spark, sf_dir, n=n,
-                                           threshold=threshold))
+                                           threshold=threshold)
+                       .localCheckpoint(eager=False))
     return (edges.groupBy(F.col("src").alias("doc_id"))
             .agg(F.count("*").cast("bigint").alias("degree"),
                  F.round(F.sum("jaccard"), 6).alias("w_sum"),
@@ -99,8 +102,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str, n: int = 2,
                    damping: float = 0.85) -> DataFrame:
     """PageRank of the near-dup similarity graph (symmetrized pair list —
     see :func:`pagerank_edges` for the iteration shape)."""
-    pairs = ngram_jaccard_pairs(spark, sf_dir, n=n, threshold=threshold)
-    # the pair table is consumed by deg AND every iteration's join —
-    # checkpoint so the shingle equi-join runs once, not iters+1 times
-    edges = _sym_edges(pairs).localCheckpoint(eager=False)
-    return pagerank_edges(edges, iters=iters, damping=damping)
+    # checkpoint the PAIRS (not the symmetrized union): _sym_edges reads
+    # the subtree twice and every iteration's join reads it again — with
+    # the checkpoint the shingle equi-join runs exactly once
+    pairs = (ngram_jaccard_pairs(spark, sf_dir, n=n, threshold=threshold)
+             .localCheckpoint(eager=False))
+    return pagerank_edges(_sym_edges(pairs), iters=iters, damping=damping)
