@@ -143,6 +143,13 @@ def _warmup(spark) -> None:
         F.length("url") % 10 < 2)  # ~20% sample, still spans all partitions
     sents = X.split_sentences(X.lang_filter(X.extract_text(wp)))
     X.infer(sents.filter(F.col("sent_id") < 1), num_partitions=2 * cores).count()
+    # also import the dedup module + allocate its signature pool in every
+    # worker: the signature stages run at cluster width (read_docs), so a
+    # cold first-touch otherwise lands inside the first timed dedup query
+    from joint_entity_and_relation_extraction_spark.operators import dedup as DD
+
+    spark.range(2 * cores, numPartitions=2 * cores).select(
+        DD.minhash_bands_udf(F.array(F.col("id"))).alias("b")).count()
 
 
 def kg_pipeline_job(spark, replicate: int, dedup: bool = True,

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
-from ..sources.io import read_table
+from ..sources.io import read_docs, read_table
 
 # --- shingling (built-ins only) --------------------------------------------
 
@@ -39,7 +39,10 @@ def _shingles_expr(n: int):
 
 def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicate groups: hash(text) → group. At 100 TB this is the
-    classic map-side-combinable groupBy on a 128-bit fingerprint."""
+    classic map-side-combinable groupBy on a 128-bit fingerprint. Bare
+    scan on purpose: the map work is one md5 — a read_docs repartition
+    would shuffle the full text column to parallelize a trivial stage
+    (measured 0.5s → 1.3s)."""
     d = read_table(spark, sf_dir, "documents")
     return (
         d.select(F.md5(F.col("text")).alias("fp"), "doc_id")
@@ -78,12 +81,15 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, n: int = 2,
     (≤ max_df² pair fragments), which keeps the shuffle O(n·max_df) on
     hot-shingle corpora instead of O(hot²).
     """
-    d = read_table(spark, sf_dir, "documents").select(
+    d = read_docs(spark, sf_dir).select(
         "doc_id", _shingles_expr(n).alias("sh"))
     ex_all = d.select("doc_id", F.explode("sh").alias("shingle"))
     rare = (ex_all.groupBy("shingle").agg(F.count("*").alias("df"))
             .filter(F.col("df") <= max_df).select("shingle"))
-    ex = ex_all.join(rare, "shingle")
+    # ex feeds the self-join (both sides) AND the per-doc sizes — three
+    # reads of the explode+df-cap subtree without a checkpoint (measured
+    # 2x whole-op wall at sf0.1; CLAUDE.md shared-subtree invariant)
+    ex = ex_all.join(rare, "shingle").localCheckpoint(eager=False)
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = ex.alias("a")
     b = ex.alias("b")
@@ -160,8 +166,14 @@ _HASHED_SHINGLES = "transform(sh, s -> xxhash64(s) & 9223372036854775807)"
 #: reusable (NUM_HASHES, chunk-words) work buffers, keyed per worker —
 #: fresh multi-MB allocations page-fault at ~0.15 GB/s on this host
 #: (memory note sandbox-host-performance), so the universal-hash matrix
-#: is written into a pooled buffer chunk after chunk
-_MH_CHUNK_WORDS = 1 << 16
+#: is written into a pooled buffer chunk after chunk. Chunk size is a
+#: pure work-buffer bound — minima are per-row, so results are
+#: chunk-size-invariant (parity-pinned). 2^13 keeps the pooled buffer
+#: at 8 MB/worker: now that the signature stage runs at cluster width
+#: (read_docs), 32 workers allocate their pools CONCURRENTLY on first
+#: touch, and at 2^16 that first touch pushed 2 GB through the
+#: page-fault wall (~7 s of the old 14 s cold lsh run).
+_MH_CHUNK_WORDS = 1 << 13
 _MH_POOL: dict = {}
 
 
@@ -251,7 +263,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, n: int = 2,
     # first use (measured 1.4-1.8x whole-op speedup at sf0.1); blocks are
     # freed when the lineage is GC'd, not pinned for the session
     # (VERDICT r02 item 9, measured before applying).
-    d = read_table(spark, sf_dir, "documents").select(
+    d = read_docs(spark, sf_dir).select(
         "doc_id", _shingles_expr(n).alias("sh"))
     banded = d.select(
         "doc_id",
@@ -309,7 +321,7 @@ def minhash_incremental_pairs(spark: SparkSession, sf_dir: str, n: int = 2,
     doc-local, the result equals the full-corpus
     :func:`minhash_lsh_pairs` restricted to pairs involving a new doc —
     pinned by pytest (test_dedup_similarity)."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_docs(spark, sf_dir)
     # band keys are doc-local, so the witness computes the corpus index
     # and the batch signatures in ONE Arrow pass over the corpus and
     # splits by flag — identical rows to signaturing the slices
@@ -407,7 +419,7 @@ def simhash_pairs(spark: SparkSession, sf_dir: str,
     """SimHash near-dup pairs with chunk blocking: by pigeonhole, any pair
     within hamming distance 3 agrees on at least one of the 4 16-bit
     chunks — join on (chunk index, chunk value), verify with bit_count."""
-    d = read_table(spark, sf_dir, "documents").select(
+    d = read_docs(spark, sf_dir).select(
         "doc_id", simhash_from_hashes_udf(F.expr(_HASHED_WORDS)).alias("sh"))
     chunks = d.select(
         "doc_id", "sh",

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.io import read_table
+from ..sources.io import read_docs, read_table
 
 # small function-word profiles per language (public knowledge)
 LANG_MARKERS = {
@@ -159,7 +159,7 @@ def winnow_fingerprint(spark: SparkSession, sf_dir: str, k: int = 5,
     python reference winnower is pytest-gated."""
     from pyspark.sql import Window
 
-    d = read_table(spark, sf_dir, "documents")
+    d = read_docs(spark, sf_dir)
     words = _words()
     n = F.size(words)
     kgrams = F.when(n >= k, F.transform(
@@ -208,7 +208,7 @@ def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses most rows before the shuffle); the 2-gram distinct ratio
     never leaves the words array (zip_with + array_distinct, whole-stage
     codegen, zero extra shuffle)."""
-    d = read_table(spark, sf_dir, "documents").select(
+    d = read_docs(spark, sf_dir).select(
         "doc_id", _words().alias("ws"))
     counts = (d.select("doc_id", F.explode("ws").alias("w"))
               .groupBy("doc_id", "w").agg(F.count("*").alias("c")))
@@ -270,7 +270,7 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-join when a 100 TB corpus's vocabulary doesn't. The scalar
     corpus total stays in-plan via a broadcast single-row cross join
     (no driver collect)."""
-    w = (read_table(spark, sf_dir, "documents")
+    w = (read_docs(spark, sf_dir)
          .select("doc_id", F.explode(_words()).alias("w")))
     lm = w.groupBy("w").agg(F.count("*").alias("c"))
     tot = w.groupBy().agg(F.count("*").alias("tot"))
@@ -394,7 +394,7 @@ def ngram_topk(spark: SparkSession, sf_dir: str, n: int = 2,
     deterministic and oracle-equal. At 100 TB the count is a partial
     agg and the top-k is a single bounded sort-limit (Spark's
     TakeOrderedAndProject), not a full sort."""
-    d = read_table(spark, sf_dir, "documents")
+    d = read_docs(spark, sf_dir)
     grams = F.array_distinct(F.expr(
         "zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), "
         "slice(split(text, ' '), 2, size(split(text, ' ')) - 1), "
