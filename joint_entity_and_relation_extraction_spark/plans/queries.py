@@ -1326,6 +1326,55 @@ def q_agg_approx_percentile(spark, sf):
                    .alias(f"p{p}") for p in (25, 50, 95)]))
 
 
+SQL_JOIN_LATERAL = """
+SELECT n.n_name, t.c_custkey, t.c_acctbal
+FROM nation n,
+LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+         WHERE c.c_nationkey = n.n_nationkey
+         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+"""
+
+
+def q_join_lateral(spark, sf):
+    """LATERAL correlated subquery (top-2 customers per nation) — the
+    SQL-surface sibling of window_topk_per_group: the same semantics
+    expressed as a correlated LATERAL, which Catalyst decorrelates into
+    a ranked join rather than executing per-row. The IDENTICAL SQL text
+    runs on both engines."""
+    for t in ("nation", "customer"):
+        read_table(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(SQL_JOIN_LATERAL)
+
+
+def q_window_first_last(spark, sf):
+    """first_value / last_value / nth_value window functions over the
+    full per-user frame (ROWS UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING —
+    the default frame would make last_value degenerate), with a unique
+    (ts, event_id) order so the picks are deterministic on both
+    engines."""
+    from pyspark.sql import Window
+
+    e = read_table(spark, sf, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    return e.select(
+        "event_id", "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+        F.nth_value("event_type", 2).over(w).alias("second_type"))
+
+
+SQL_WINDOW_FIRST_LAST = """
+SELECT event_id, user_id,
+       FIRST_VALUE(event_type) OVER w AS first_type,
+       LAST_VALUE(event_type) OVER w AS last_type,
+       NTH_VALUE(event_type, 2) OVER w AS second_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 _ICEBERG_CLUSTER_CACHE: dict = {}
 
 
@@ -1562,6 +1611,8 @@ RELATIONAL_QUERIES = {
     "agg_stats_funcs": q_agg_stats_funcs,
     "stream_interval_join_batch": q_stream_interval_join_batch,
     "iceberg_cluster_scan": q_iceberg_cluster_scan,
+    "join_lateral": q_join_lateral,
+    "window_first_last": q_window_first_last,
 }
 
 RELATIONAL_ORACLE = {
@@ -1621,6 +1672,8 @@ RELATIONAL_ORACLE = {
     "agg_stats_funcs": SQL_AGG_STATS_FUNCS,
     "stream_interval_join_batch": SQL_STREAM_INTERVAL_JOIN_BATCH,
     "iceberg_cluster_scan": SQL_ICEBERG_CLUSTER_SCAN,
+    "join_lateral": SQL_JOIN_LATERAL,
+    "window_first_last": SQL_WINDOW_FIRST_LAST,
     # sample_stratified: engine-specific RNG → rows-only (bounded pytest)
     # approx_distinct / sample_frac: deliberately no oracle (nondeterministic
     # vs exact SQL) → driver rows-only check (bounded pytest checks in
