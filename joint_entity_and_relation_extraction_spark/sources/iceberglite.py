@@ -507,9 +507,48 @@ def compact(spark: SparkSession, root: str) -> int:
     return snap_id
 
 
+_ZORDER_BITS = 16
+
+
+def _zvalue_expr(spark: SparkSession, df, cols: list[str]):
+    """Z-order (Morton) key over ``cols`` as a pure Catalyst expression:
+    each column is normalized to a ``_ZORDER_BITS``-bit integer via its
+    global [min, max] (one bounded scalar aggregate), then the bits are
+    interleaved with shift/or terms. Sorting by the interleaved key
+    gives every participating column locality in the file layout, so
+    per-unit [min, max] stats prune on ANY of the dims — the multi-
+    column generalization a lexicographic sort can't provide (it only
+    localizes the leading column)."""
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cols:
+        aggs += [F.min(F.col(c).cast("double")).alias(f"mn_{c}"),
+                 F.max(F.col(c).cast("double")).alias(f"mx_{c}")]
+    row = df.agg(*aggs).collect()[0]  # bounded: one scalar row
+    top = (1 << _ZORDER_BITS) - 1
+    parts = []
+    for ci, c in enumerate(cols):
+        mn, mx = row[f"mn_{c}"], row[f"mx_{c}"]
+        span = (mx - mn) or 1.0
+        q = F.least(
+            F.lit(top),
+            F.floor((F.col(c).cast("double") - F.lit(mn))
+                    / F.lit(span) * F.lit(top + 1)).cast("bigint"))
+        for b in range(_ZORDER_BITS):
+            parts.append(F.shiftleft(
+                F.shiftright(q, b).bitwiseAND(F.lit(1)),
+                b * len(cols) + ci))
+    z = parts[0]
+    for p in parts[1:]:
+        z = z.bitwiseOR(p)
+    return z
+
+
 def cluster_by(spark: SparkSession, root: str, sort_cols: list[str],
                n_units: int = 8,
-               stats_cols: list[str] | None = None) -> int:
+               stats_cols: list[str] | None = None,
+               zorder: bool = False) -> int:
     """Maintenance: sort-order rewrite (Iceberg ``rewrite_data_files``
     with a sort order / Delta ``OPTIMIZE ZORDER BY`` analogue). Rewrites
     the current snapshot range-partitioned on ``sort_cols`` into
@@ -530,7 +569,15 @@ def cluster_by(spark: SparkSession, root: str, sort_cols: list[str],
     in query results. ``stats_cols`` defaults to ``sort_cols`` plus any
     columns already carrying unit stats. Unpartitioned tables only (a
     partitioned table's clustering unit is the partition — compact does
-    that); same validate-at-commit conflict rule as :func:`compact`."""
+    that); same validate-at-commit conflict rule as :func:`compact`.
+
+    ``zorder=True`` clusters on the bit-interleaved Morton key of
+    ``sort_cols`` instead of their lexicographic order (Delta
+    OPTIMIZE ZORDER proper): a lexicographic sort localizes only the
+    LEADING column, so range predicates on the second column still
+    scan every unit; the Z-curve gives every participating column
+    locality, so each one's per-unit bounds prune independently
+    (pytest-pinned on both dims in test_iceberglite)."""
     from pyspark.sql import functions as F
 
     m = _load(root)
@@ -544,9 +591,16 @@ def cluster_by(spark: SparkSession, root: str, sort_cols: list[str],
     want_stats = sorted(set(sort_cols) | set(stats_cols or [])
                         | set(_stats_cols_of(m)))
     df = read(spark, root, snapshot=base)
-    rdf = (df.repartitionByRange(n_units, *[F.col(c) for c in sort_cols])
-           .sortWithinPartitions(*sort_cols)
-           .withColumn("_cluster_bucket", F.spark_partition_id()))
+    if zorder and len(sort_cols) >= 2:
+        zdf = df.withColumn("_zv", _zvalue_expr(spark, df, sort_cols))
+        rdf = (zdf.repartitionByRange(n_units, F.col("_zv"))
+               .sortWithinPartitions("_zv").drop("_zv")
+               .withColumn("_cluster_bucket", F.spark_partition_id()))
+    else:
+        rdf = (df.repartitionByRange(n_units,
+                                     *[F.col(c) for c in sort_cols])
+               .sortWithinPartitions(*sort_cols)
+               .withColumn("_cluster_bucket", F.spark_partition_id()))
     new_units = _write_snapshot(rdf, root, _new_token(),
                                 ["_cluster_bucket"])
     stats = _collect_unit_stats(root, new_units, want_stats)
