@@ -1425,6 +1425,55 @@ WHERE o_totalprice BETWEEN 60000.0 AND 140000.0
 """
 
 
+_ICEBERG_ZORDER_CACHE: dict = {}
+
+
+def q_iceberg_zorder_scan(spark, sf):
+    """Z-order clustering as a driver-gradable query (r05): `orders`
+    appended arrival-order, then cluster_by(["o_totalprice",
+    "o_custkey"], zorder=True) rewrites on the Morton key — the
+    where_range here predicates on o_custkey, the NON-leading column,
+    which a lexicographic sort cannot prune at all (pytest pins 16/16 →
+    4/16 units). Equality with the plain SQL filter proves the
+    Z-curve-pruned scan lossless."""
+    import shutil
+    import tempfile
+
+    from ..sources import iceberglite as il
+
+    key = (spark.sparkContext.applicationId, sf)
+    if key not in _ICEBERG_ZORDER_CACHE:
+        if not _ICEBERG_ZORDER_CACHE:
+            import atexit
+
+            atexit.register(lambda: [
+                shutil.rmtree(root, ignore_errors=True)
+                for root in _ICEBERG_ZORDER_CACHE.values()])
+        for old in [k for k in _ICEBERG_ZORDER_CACHE if k[0] != key[0]]:
+            shutil.rmtree(_ICEBERG_ZORDER_CACHE.pop(old),
+                          ignore_errors=True)
+        o = read_table(spark, sf, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice")
+        root = tempfile.mkdtemp(prefix="jers-iceberg-zorder-")
+        for k in range(4):
+            il.append(o.filter(F.col("o_orderkey") % 4 == k), root, [],
+                      stats_cols=["o_totalprice", "o_custkey"])
+        il.cluster_by(spark, root, ["o_totalprice", "o_custkey"],
+                      n_units=16, zorder=True)
+        _ICEBERG_ZORDER_CACHE[key] = root
+    root = _ICEBERG_ZORDER_CACHE[key]
+    return (il.read(spark, root, where_range={"o_custkey": (100, 400)})
+            .filter(F.col("o_custkey").between(100, 400))
+            .select("o_orderkey", "o_custkey", "o_totalprice"))
+
+
+SQL_ICEBERG_ZORDER_SCAN = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_custkey BETWEEN 100 AND 400
+"""
+
+
 def q_stream_interval_join_batch(spark, sf):
     """View→purchase attribution via an event-time INTERVAL JOIN — the
     driver-gradable witness for the stream-stream join semantics of
@@ -1613,6 +1662,7 @@ RELATIONAL_QUERIES = {
     "iceberg_cluster_scan": q_iceberg_cluster_scan,
     "join_lateral": q_join_lateral,
     "window_first_last": q_window_first_last,
+    "iceberg_zorder_scan": q_iceberg_zorder_scan,
 }
 
 RELATIONAL_ORACLE = {
@@ -1674,6 +1724,7 @@ RELATIONAL_ORACLE = {
     "iceberg_cluster_scan": SQL_ICEBERG_CLUSTER_SCAN,
     "join_lateral": SQL_JOIN_LATERAL,
     "window_first_last": SQL_WINDOW_FIRST_LAST,
+    "iceberg_zorder_scan": SQL_ICEBERG_ZORDER_SCAN,
     # sample_stratified: engine-specific RNG → rows-only (bounded pytest)
     # approx_distinct / sample_frac: deliberately no oracle (nondeterministic
     # vs exact SQL) → driver rows-only check (bounded pytest checks in
