@@ -120,6 +120,28 @@ def q_kg_canonical_triples(spark, sf):
     )
 
 
+def q_kg_entity_pagerank(spark, sf):
+    """Entity centrality of the constructed knowledge graph: PageRank
+    over the symmetrized (subj, obj) edge set of the canonical triples
+    — the analytics pass a KG consumer runs first (which entities
+    anchor the graph). Symmetrized on purpose: pagerank_edges derives
+    the node set from out-degrees, so undirected co-occurrence
+    centrality is the well-defined form for an edge list where many
+    entities only ever appear as objects. Model-backed input → driver
+    rows-only; the PageRank math itself is reference-pinned in
+    tests/test_graph.py."""
+    from ..operators.graph import _sym_edges, pagerank_edges
+
+    triples = q_kg_canonical_triples(spark, sf)
+    pairs = (triples.filter(F.col("subj") != F.col("obj"))
+             .select(F.col("subj").alias("d1"), F.col("obj").alias("d2"),
+                     F.lit(1.0).alias("jaccard"))
+             .dropDuplicates(["d1", "d2"])
+             .localCheckpoint(eager=False))
+    return (pagerank_edges(_sym_edges(pairs), iters=5)
+            .select(F.col("id").alias("entity_id"), "pagerank"))
+
+
 KG_QUERIES = {
     "kg_web_pages": q_kg_web_pages,
     "kg_extract_text": q_kg_extract_text,
@@ -128,6 +150,10 @@ KG_QUERIES = {
     "kg_triples_raw": q_kg_triples_raw,
     "kg_links": q_kg_links,
     "kg_canonical_triples": q_kg_canonical_triples,
+    # r05 late addition, registered past the frozen window (KG_QUERIES
+    # sits inside the window BEFORE relational entries, so appending
+    # here would evict a relational slot mid-round — instead it rides in
+    # TRAINING_QUERIES below and hoists with the rest of the r06 pool)
 }
 
 
@@ -237,6 +263,7 @@ TRAINING_QUERIES = {
     "dedup_clusters_incremental": partial(DD.clusters_incremental,
                                           n=2, threshold=0.2),
     "graph_degrees": GR.graph_degrees,
+    "kg_entity_pagerank": q_kg_entity_pagerank,
     # 5 iterations for the witness: each power iteration is a sequential
     # join+agg stage pair, pure scheduler overhead on a 47-node fixture
     # graph (the pytest reference-parity gate runs the full 10)

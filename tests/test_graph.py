@@ -64,3 +64,23 @@ def test_degrees_consistent_with_pairs(spark, pair_rows):
         want[r.d1] = want.get(r.d1, 0) + 1
         want[r.d2] = want.get(r.d2, 0) + 1
     assert deg == want
+
+
+def test_kg_entity_pagerank_matches_reference(spark):
+    """Entity-centrality composition: PageRank over the canonical-triple
+    co-occurrence graph equals the python power iteration on the same
+    edge set (and the node set is exactly the distinct non-self-loop
+    triple endpoints)."""
+    from joint_entity_and_relation_extraction_spark.plans import registry
+
+    triples = registry.all_queries()["kg_canonical_triples"](spark, SF001)
+    pairs = {(r.subj, r.obj) for r in triples.collect() if r.subj != r.obj}
+    edges = [(a, b) for (a, b) in pairs] + [(b, a) for (a, b) in pairs]
+    want = _python_pagerank(edges, iters=5, damping=0.85)
+    got = {r.entity_id: r.pagerank
+           for r in registry.all_queries()["kg_entity_pagerank"](
+               spark, SF001).collect()}
+    registry.clear_caches()
+    assert set(got) == set(want)
+    for v, r in want.items():
+        assert abs(got[v] - round(r, 6)) < 1e-6
