@@ -216,6 +216,8 @@ def curation_select_sketch(spark: SparkSession, sf_dir: str,
 #: range).
 _K_LO = 40503
 _K_HI = 12739
+#: split-stream multiplier — spectrally screened (see curation_split)
+_K_SPLIT = 32537
 _U32 = 4294967296
 
 #: default per-source mixture rates for the registered witness: a
@@ -478,4 +480,48 @@ SELECT doc_id, scored.lang,
        ROUND(CASE WHEN hi > lo THEN (q_score - lo) / (hi - lo)
                   ELSE 0.0 END, 6) AS minmax_score
 FROM scored JOIN stats ON scored.lang = stats.lang
+"""
+
+
+def curation_split(spark: SparkSession, sf_dir: str,
+                   train: float = 0.8, val: float = 0.1) -> DataFrame:
+    """Deterministic train/val/test assignment: the same 3-round
+    multiply-mod uniform as :func:`curation_mixture_sample` but with its
+    own multiplier _K_SPLIT, so the split deviate is an independent
+    stream from the sampling deviate (a doc's mixture keep/drop and its
+    split assignment don't correlate — pytest-pinned). The multiplier is
+    spectrally screened: K^3/2^32 mod 1 must sit far from every
+    low-denominator rational, or dense sequential ids fall on a short
+    orbit (the first pick, _K_HI, has K^3/2^32 within 2e-4 of 1/3 —
+    every small id landed on {0, 1/3, 2/3} and 100% of the fixture
+    split "train"). All intermediates stay below 2^48: overflow-free
+    exact integers on any engine. Every engine/cluster/run assigns
+    the same doc to the same split; thresholding one deviate makes the
+    splits exhaustive and disjoint by construction, and growing `train`
+    only ever MOVES docs val→train (never reshuffles). One narrow scan,
+    no shuffle, no RNG state."""
+    d = read_table(spark, sf_dir, "documents")
+    mixed = (F.pmod(F.col("doc_id"), F.lit(_U32)) * F.lit(_K_SPLIT)
+             + F.expr(f"doc_id div {_U32}") * F.lit(_K_HI))
+    state = F.pmod(mixed, F.lit(_U32))
+    for _ in range(2):
+        state = F.pmod(state * F.lit(_K_SPLIT), F.lit(_U32))
+    u = state / F.lit(float(_U32))
+    split = (F.when(u < train, "train")
+             .when(u < train + val, "val").otherwise("test"))
+    return d.select("doc_id", "lang", F.round(u, 6).alias("u"),
+                    split.alias("split"))
+
+
+def sql_curation_split(train: float = 0.8, val: float = 0.1) -> str:
+    a = (f"(((doc_id % {_U32}) * {_K_SPLIT} + (doc_id // {_U32}) * {_K_HI})"
+         f" % {_U32})")
+    c = f"((({a} * {_K_SPLIT}) % {_U32}) * {_K_SPLIT}) % {_U32}"
+    u = f"(({c}) / {float(_U32)})"
+    return f"""
+SELECT doc_id, lang, ROUND({u}, 6) AS u,
+       CASE WHEN {u} < {float(train)} THEN 'train'
+            WHEN {u} < {float(train + val)} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
 """

@@ -264,6 +264,7 @@ TRAINING_QUERIES = {
                                           n=2, threshold=0.2),
     "graph_degrees": GR.graph_degrees,
     "kg_entity_pagerank": q_kg_entity_pagerank,
+    "curation_split": CU.curation_split,
     # 5 iterations for the witness: each power iteration is a sequential
     # join+agg stage pair, pure scheduler overhead on a 47-node fixture
     # graph (the pytest reference-parity gate runs the full 10)
@@ -282,6 +283,7 @@ TRAINING_ORACLE = {
     "curation_quality_filter": CU.SQL_QUALITY_FILTER,
     "curation_score_normalize": CU.SQL_SCORE_NORMALIZE,
     "text_ngram_topk": TS.sql_ngram_topk(k=50),
+    "curation_split": CU.sql_curation_split(),
     "graph_degrees": GR.sql_graph_degrees(n=2, threshold=0.2),
     "dedup_clusters_incremental": DD.sql_neardup_clusters(n=2,
                                                           threshold=0.2),

@@ -116,3 +116,30 @@ def test_contamination_flags_known_overlaps(spark):
         if shared:
             want[int(r.doc_id)] = (shared, ndocs)
     assert got == want and want
+
+
+def test_split_is_deterministic_stable_and_independent(spark):
+    """Split assignment is run-deterministic, exhaustive/disjoint by
+    construction, stable under a growing train fraction (docs only move
+    val->train), and statistically independent of the mixture-sample
+    deviate (swapped hash constants)."""
+    a = {r.doc_id: r.split
+         for r in CU.curation_split(spark, SF001).collect()}
+    b = {r.doc_id: r.split
+         for r in CU.curation_split(spark, SF001).collect()}
+    assert a == b
+    assert set(a.values()) <= {"train", "val", "test"}
+    frac_train = sum(1 for s in a.values() if s == "train") / len(a)
+    assert 0.7 < frac_train < 0.9
+    wider = {r.doc_id: r.split
+             for r in CU.curation_split(spark, SF001,
+                                        train=0.9, val=0.05).collect()}
+    for doc, s in a.items():
+        if s == "train":
+            assert wider[doc] == "train"  # nested: train only grows
+    # independence from the sampling deviate: the kept half of a 0.5
+    # mixture sample should still be ~0.8 train, not skewed
+    kept = {r.doc_id for r in CU.curation_mixture_sample(
+        spark, SF001, rates={}, default_rate=0.5).collect()}
+    kept_train = sum(1 for d in kept if a[d] == "train") / len(kept)
+    assert 0.7 < kept_train < 0.9
