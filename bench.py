@@ -43,7 +43,13 @@ Design choices, all load-bearing on this shared host (BENCH/BASELINE.md):
   measures 0.895 and the no-Spark kernel probe scales 2->8 at 1.03.
 - jobs/kernel_scaling_probe.py (run inside the bench, ~90s, no Spark)
   separates "engine stops scaling" from "host stops feeding the
-  kernel"; `--stage-attr` is a manual per-stage diagnostic mode.
+  kernel"; `--stage-attr` runs at both scaling points inside the
+  standard bench (stage_walls_{n,4n} in the JSON) so a red gate is
+  attributable from the artifact alone, and stays invocable standalone.
+- The query suite waits for its own quiet window, and always measures
+  the lsh query in BOTH scan shapes (read_docs cluster-width vs the r04
+  bare read_table) back-to-back — the same-window A/B that settles
+  "which shape wins at width CPUS" from the artifact (VERDICT r05 #3).
 - The multi-repeat headline records per-run [start, end] loadavg and
   escalates 3 -> 5 runs when the in-window spread exceeds 1.5x
   (VERDICT r04 item 5).
@@ -122,6 +128,10 @@ BENCH_QUERIES = [
     "dedup_minhash_incremental", "curation_select",
     # r05 additions (same rule)
     "text_repetition", "graph_degrees",
+    # r06 addition (same rule): the LSH-edge-base graph witness — the
+    # shape a 100 TB user runs (VERDICT r05 item 2); the ngram-based
+    # graph_degrees entry stays for series comparability
+    "graph_degrees_lsh",
 ]
 
 
@@ -264,14 +274,13 @@ def child_scale_point(master: str, repeats: int, dedup: bool = True,
 
 
 def child_stage_attr(master: str) -> None:
-    """Per-stage wall times of the scaling workload (VERDICT r04 item 1a)
-    — a DIAGNOSTIC mode (`bench.py --stage-attr --master local[N]`), not
-    part of the default bench: materializing each stage behind a barrier
-    changes the fused pipeline's overlap, so these times attribute where
-    a scaling loss lives rather than re-measure the gate. The r05 root
-    cause was instead pinned by jobs/kernel_scaling_probe.py (model
-    kernel 2->8 eff 1.03 without Spark) plus a clean-window pipeline pair
-    (0.895) — keep this mode for the day a loss IS engine-owned."""
+    """Per-stage wall times of the scaling workload (VERDICT r04 item 1a;
+    since r06 the standard bench runs this at BOTH scaling points and
+    records stage_walls_{n,4n} in the artifact — VERDICT r05): each stage
+    materializes behind a barrier, so these times attribute where a
+    scaling loss lives rather than re-measure the gate (barriers change
+    the fused pipeline's overlap). Also runnable standalone:
+    `bench.py --stage-attr --master local[N]`."""
     from pyspark.sql import functions as F
 
     from joint_entity_and_relation_extraction_spark.operators import canonicalize as C
@@ -375,6 +384,25 @@ def child_query_suite() -> None:
         t0 = time.monotonic()
         qs[name](spark, SF_DIR).count()
         times[name] = round(time.monotonic() - t0, 3)
+    # Permanent paired A/B (VERDICT r05 item 3): the SAME lsh query with
+    # the r04 file-granular scan (bare read_table) instead of the r05
+    # cluster-width read_docs, measured back-to-back in the same window
+    # as the tracked entry — so the read_docs decision is re-validated
+    # from the artifact every round instead of argued from memory.
+    # (BENCH_r05's +48%/+91% "regressions" were measured in a suite
+    # window with loadavg ~30 and no quiet guard; jobs/ab_lsh_shape.py
+    # is the standalone version of this pair.)
+    from joint_entity_and_relation_extraction_spark.operators import dedup as DD
+    from joint_entity_and_relation_extraction_spark.sources.io import read_table
+
+    real_read_docs = DD.read_docs
+    DD.read_docs = lambda s, d: read_table(s, d, "documents")
+    try:
+        t0 = time.monotonic()
+        DD.minhash_lsh_pairs(spark, SF_DIR, n=2, threshold=0.2).count()
+        times["dedup_minhash_lsh_r04shape"] = round(time.monotonic() - t0, 3)
+    finally:
+        DD.read_docs = real_read_docs
     registry.clear_caches()
     spark.stop()
     print(json.dumps(times))
@@ -486,6 +514,15 @@ def main() -> None:
             sys.stderr.write(f"bench child {args} failed: {ex}\n")
             return dict(_NA)
 
+    # per-stage scaling attribution IN the artifact (VERDICT r05 item 3
+    # of "What's missing"): the same N / 4N workload with a barrier after
+    # each stage, so a future red gate is attributable from BENCH JSON
+    # alone (which stage stopped scaling) instead of re-derived by hand.
+    # Barriers change pipeline overlap, so these walls attribute, they do
+    # not re-measure the gate.
+    quiet_log.append(_await_quiet_window("stage_attr", QUIET_LOAD_SCALING))
+    stage_n = _try_child("--stage-attr", "--master", f"local[{LOW_CPUS}]")
+    stage_4n = _try_child("--stage-attr", "--master", f"local[{HIGH_CPUS}]")
     quiet_log.append(_await_quiet_window("attr_jvm"))
     jvm_hi = _try_child("--attr", "jvm", "--master", f"local[{HIGH_CPUS}]")
     jvm_full = _try_child("--attr", "jvm", "--master", f"local[{CPUS}]")
@@ -511,6 +548,11 @@ def main() -> None:
     # supplementary, disclosed as such, never the headline (leading with
     # it invited the r02/r03 'disclosed != representative' criticism)
     full = _try_child("--point", f"local[{CPUS}]", "--repeats", "1")
+    # the suite gets its OWN quiet window (r06): BENCH_r05's suite ran
+    # right after the headline, in a window whose loadavg had climbed to
+    # ~30 — the whole +48%/+91% "regression" story of VERDICT r05 item 3
+    # was neighbor load the suite numbers silently absorbed.
+    quiet_log.append(_await_quiet_window("query_suite"))
     qtimes = _run_child("--queries")
     qtotal = sum(qtimes.values())
 
@@ -607,7 +649,19 @@ retuning. On a real cluster the N→4N step crosses machines with
 independent memory buses, so the bandwidth term does not accumulate the
 way it does inside this single box.
 
-Query suite at local[{CPUS}] (seconds):
+## Per-stage scaling attribution (barriered walls, local[{LOW_CPUS}] vs local[{HIGH_CPUS}])
+
+stage_walls_n = {stage_n.get('stages')}
+stage_walls_4n = {stage_4n.get('stages')}
+
+Barriers change the fused pipeline's overlap, so these walls say WHERE a
+scaling loss lives (which stage's N/4N ratio collapsed), not how big the
+gate ratio is — the unbarriered pair above is the gate.
+
+Query suite at local[{CPUS}] (seconds, own quiet window —
+`dedup_minhash_lsh_r04shape` is the same lsh query with the r04
+file-granular scan, the permanent same-window A/B for the read_docs
+cluster-width decision):
 
 """)
         for k, v in qtimes.items():
@@ -639,6 +693,8 @@ Query suite at local[{CPUS}] (seconds):
         "n_docs": real["n_docs"],
         "scaling_efficiency": efficiency,
         "scaling_efficiency_8_32": efficiency_8_32,
+        "stage_walls_n": stage_n.get("stages"),
+        "stage_walls_4n": stage_4n.get("stages"),
         "attr_jvm_eff_8_32": eff_jvm_8_32,
         "attr_model_eff_8_32": eff_model_8_32,
         "quiet_windows": quiet_log,

@@ -256,9 +256,13 @@ def curation_mixture_sample(spark: SparkSession, sf_dir: str,
         *[F.when(F.col("source") == s, F.lit(float(r)))
           for s, r in sorted(rates.items())],
         F.lit(float(default_rate)))
-    return (d.select("doc_id", "source", F.round(u, 6).alias("u"),
-                     rate.alias("rate"))
-            .filter(F.col("u") < F.col("rate")))
+    # filter on the RAW deviate (the SQL oracle's WHERE is unrounded);
+    # rounding u first dropped docs whose u lies within 5e-7 below a
+    # rate boundary that DuckDB kept — ADVICE r05. round(u, 6) is
+    # output-only, same as curation_split.
+    return (d.filter(u < rate)
+            .select("doc_id", "source", F.round(u, 6).alias("u"),
+                    rate.alias("rate")))
 
 
 def sql_curation_mixture_sample(rates: dict[str, float] | None = None,

@@ -1564,31 +1564,15 @@ FROM m
 # --- registry ---------------------------------------------------------------
 
 RELATIONAL_QUERIES = {
-    # --- r05 driver window (15 relational slots; ANALYTICS 28 + KG 7
-    # fill the first 35 of registry.DRIVER_WINDOW=50). The FULL expected
-    # window membership is pinned by
-    # tests/test_registry.py::test_driver_window_covers_priority_queries
-    # (exact list, not a must-subset — ADVICE r04: r04's 7 new analytics
-    # entries silently evicted 7 relational queries in addition to the 5
-    # disclosed rotations; an exact-membership test makes every future
-    # eviction loud).
-    # r04 accounting correction (ADVICE r04): r04's comment disclosed 5
-    # rotations but the round actually evicted 12 — the 7 new analytics
-    # entries additionally pushed out agg_group_multi, agg_count_distinct,
-    # window_rank, window_lag_lead, window_frame_sum, sort_limit and
-    # window_topk_per_group (all driver-green in r02/r03, all still
-    # registered + pytest-gated below). The exact-membership test now
-    # makes any such silent eviction fail loudly.
-    # r05 rotation (VERDICT r04 item 2): the four r04-appended queries
-    # (window_ntile_percent, iceberg_stats_skipping, agg_exact_percentile,
-    # join_null_safe) had never been driver-checked — hoisted into the
-    # window. SIX multi-green entries rotate out past the window to make
-    # room for them plus the two new-in-r05 analytics queries
-    # (pack_sequences_sharded, curation_select_sketch, registered inside
-    # the window so they get driver rows in their own round):
-    # stream_sliding_batch, join_shuffledhash, join_anti, join_theta,
-    # join_broadcast, join_sortmerge — all driver-green in 3 prior
-    # rounds, all still registered, oracled, and pytest-parity-gated.
+    # Since r06 the driver window is the EXPLICIT registry.WINDOW list —
+    # dict order here no longer controls which queries the driver
+    # hash-checks (the r02–r05 rotation history lives in the committed
+    # CORRECTNESS_r0*.json files and the git log of this comment block).
+    # Two tests pin the discipline: exact window membership
+    # (test_driver_window_covers_priority_queries) and the stamp-age rule
+    # (test_every_query_driver_checked_within_3_rounds — every query
+    # needs a driver row from the last 3 rounds or a seat in the current
+    # window).
     "stream_session_batch": q_stream_session_batch,
     "window_ntile_percent": q_window_ntile_percent,
     "iceberg_stats_skipping": q_iceberg_stats_skipping,
@@ -1602,9 +1586,6 @@ RELATIONAL_QUERIES = {
     "scan_project": q_scan_project,
     "filter_pushdown": q_filter_pushdown,
     "join_asof": q_join_asof,
-    # --- past the window from here down: every entry below is registered,
-    # pytest-gated, and (where oracled) mirror-checked; driver rows exist
-    # from earlier rounds as annotated ---------------------------------
     "join_broadcast": q_join_broadcast,
     "join_sortmerge": q_join_sortmerge,
     "stream_sliding_batch": q_stream_sliding_batch,
@@ -1642,21 +1623,15 @@ RELATIONAL_QUERIES = {
     "join_salted": q_join_salted,
     "iceberg_snapshot_scan": q_iceberg_snapshot_scan,
     "udtf_word_pos": q_udtf_word_pos,
-    # rotated out of the driver window in r04 (all driver-green in both
-    # r02 AND r03); still registered, oracled, and pytest-parity-gated
     "join_left": q_join_left,
     "join_full": q_join_full,
     "join_semi": q_join_semi,
     "agg_rollup": q_agg_rollup,
     "agg_cube": q_agg_cube,
-    # rows-only relational entries live at the END so every relational
-    # slot inside the driver's 50-entry window is hash-checkable; both
-    # already have driver rows from r01/r02 and ±σ pytest bands
+    # rows-only by nature (engine RNG / sketch): driver rows-only checks
+    # plus ±σ pytest bands
     "agg_approx_distinct": q_agg_approx_distinct,
     "sample_frac": q_sample_frac,
-    # new in r05 (post-window-freeze) — appended past the window per the
-    # CLAUDE.md ordering invariant; oracled + mirror-checked now, hoist
-    # for a driver row next round
     "agg_stats_funcs": q_agg_stats_funcs,
     "stream_interval_join_batch": q_stream_interval_join_batch,
     "iceberg_cluster_scan": q_iceberg_cluster_scan,

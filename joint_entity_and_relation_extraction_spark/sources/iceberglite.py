@@ -146,6 +146,33 @@ def _partition_values(unit: str) -> dict[str, str]:
     return vals
 
 
+#: the characters Spark's partition-path writer percent-escapes
+#: (ExternalCatalogUtils.escapePathName): HTTP control chars plus the
+#: path/metadata-significant set
+_HIVE_ESCAPE_CHARS = (set('"#%\'*/:=?\\{[]^') | {chr(0x7F)}
+                      | {chr(c) for c in range(1, 0x20)})
+_HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _hive_escape_value(v: object) -> str:
+    """Encode a partition VALUE exactly the way Spark's writer encodes it
+    into the ``col=value`` path component, so every manifest-side
+    comparison (read's ``where``, drop_partitions, merge_upsert's
+    touched-unit scoping) matches what is actually on disk (ADVICE r05:
+    ``str(value)`` missed hive escaping and NULL's
+    ``__HIVE_DEFAULT_PARTITION__``, so an escaped/null value was pruned
+    out of the merge read yet kept in kept_units — duplicate keys after
+    commit). Bools lowercase like the JVM; None and '' both map to the
+    Hive default-partition sentinel."""
+    if v is None:
+        return _HIVE_DEFAULT_PARTITION
+    s = ("true" if v else "false") if isinstance(v, bool) else str(v)
+    if s == "":
+        return _HIVE_DEFAULT_PARTITION
+    return "".join(f"%{ord(ch):02X}" if ch in _HIVE_ESCAPE_CHARS else ch
+                   for ch in s)
+
+
 def _write_snapshot(df: DataFrame, root: str, token: str,
                     partition_by: list[str]) -> list[str]:
     # snapshot DIRECTORY names are writer-unique tokens (pid+time), not the
@@ -358,7 +385,7 @@ def read(spark: SparkSession, root: str, snapshot: int | None = None,
             for k, v in where.items():
                 if k in pv:
                     vals = v if isinstance(v, (list, tuple, set)) else [v]
-                    if pv[k] not in {str(x) for x in vals}:
+                    if pv[k] not in {_hive_escape_value(x) for x in vals}:
                         return False
             return True
         units = [u for u in units if keep(u)]
@@ -422,7 +449,7 @@ def drop_partitions(root: str, where: dict[str, object]) -> int:
         pv = _partition_values(u)
         for k, v in where.items():
             vals = v if isinstance(v, (list, tuple, set)) else [v]
-            if k in pv and pv[k] in {str(x) for x in vals}:
+            if k in pv and pv[k] in {_hive_escape_value(x) for x in vals}:
                 continue
             return False
         return True
@@ -672,21 +699,38 @@ def merge_upsert(spark: SparkSession, updates: DataFrame, root: str,
         # matched rows can only live in partitions the updates touch —
         # read just those (manifest pruning), carry every other unit over
         touched = updates.select(*partition_by).distinct().collect()
-        where = {c: sorted({str(r[c]) for r in touched})
+        # RAW values go to read() (it path-encodes internally); the
+        # kept-unit scoping below compares against the SAME encoding, so
+        # the pruned read and the carried-over set can never disagree on
+        # a value's path spelling (ADVICE r05: str() vs hive escaping /
+        # __HIVE_DEFAULT_PARTITION__ left a matched row in both)
+        where = {c: sorted({r[c] for r in touched},
+                           key=_hive_escape_value)
                  for c in partition_by}
         cur = read(spark, root, snapshot=base, where=where)
         m_base = _load(root)
+        enc = {c: {_hive_escape_value(v) for v in where[c]}
+               for c in partition_by}
 
         def _touched(u: str) -> bool:
             pv = _partition_values(u)
-            return all(pv.get(c) in set(where[c]) for c in partition_by
+            return all(pv.get(c) in enc[c] for c in partition_by
                        if c in pv)
         kept_units = [u for u in _units_at(m_base, base) if not _touched(u)]
     else:
         cur = read(spark, root, snapshot=base)
     updates = updates.select(*cur.columns)  # align column order to table
-    merged = cur.join(updates.select(*key_cols), key_cols,
-                      "left_anti").unionByName(updates)
+    # NULL-SAFE key match: a plain equi anti-join never matches NULL
+    # keys, so a NULL-keyed update would land NEXT TO the old NULL row
+    # instead of replacing it. This table treats the key tuple as row
+    # identity (the duplicate-key guard above already groups NULLs as
+    # one key), so the replace contract must too.
+    upd_keys = updates.select(*key_cols)
+    merged = cur.join(
+        upd_keys,
+        reduce(lambda a, b: a & b,
+               [cur[c].eqNullSafe(upd_keys[c]) for c in key_cols]),
+        "left_anti").unionByName(updates)
     if partition_by:
         merged = merged.repartition(*[F.col(c) for c in partition_by])
     new_units = _write_snapshot(merged, root, _new_token(), partition_by)

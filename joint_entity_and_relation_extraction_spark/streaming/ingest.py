@@ -222,6 +222,24 @@ def dedup_index_handler(index_root: str, docs_root: str, pairs_root: str,
                 il.read(spark, docs_root).select("doc_id"),
                 "doc_id", "left_anti")
         if new_docs.isEmpty():
+            # crash-replay of THIS batch (ADVICE r05): docs_root is
+            # appended last, so a crash after the docs commit but before
+            # _fold_labels' merge makes the replay see every batch doc as
+            # already ingested — an unconditional return here would skip
+            # that batch's cluster-label merges forever (pairs and labels
+            # silently diverge). The batch's pairs are already persisted
+            # (pairs commit FIRST, and an empty pair set is never tagged
+            # = nothing to fold), and folding is value-idempotent, so
+            # re-folding them is safe whether or not the original fold
+            # ran. A batch that is merely all re-delivered urls from
+            # EARLIER batches never has its own tag in pairs_root and
+            # still returns without work.
+            if labels_root is not None and il.exists(pairs_root) \
+                    and tag in il.committed_tags(pairs_root):
+                replay_pairs = (il.read(spark, pairs_root)
+                                .filter(F.col("batch_id") == batch_id)
+                                .select("d1", "d2", "jaccard"))
+                _fold_labels(spark, replay_pairs, labels_root)
             return
         new_bands = band_index(new_docs, n).localCheckpoint(eager=False)
         old_bands = (il.read(spark, index_root) if il.exists(index_root)

@@ -223,18 +223,29 @@ def triple_keys(triples: pd.DataFrame) -> set[tuple]:
     }
 
 
+def sf_tag(sf_dir: str) -> str:
+    """'/root/testdata/sf0.01' -> 'sf001' — the golden-file suffix."""
+    return os.path.basename(sf_dir.rstrip(os.sep)).replace(".", "")
+
+
 def write_goldens(sf_dir: str) -> None:
     res = run(sf_dir)
     os.makedirs(GOLDEN_DIR, exist_ok=True)
-    ext = res["extracted"].sort_values("url")
-    with open(os.path.join(GOLDEN_DIR, "extraction.jsonl"), "w") as f:
-        for r in ext.itertuples(index=False):
-            f.write(json.dumps({"url": r.url, "text_sha": r.text_sha,
-                                "n_chars": int(r.n_chars)}) + "\n")
+    tag = sf_tag(sf_dir)
+    if tag == "sf0001":
+        # the byte-identity extraction golden is pinned at the smallest
+        # fixture only (SURVEY.md §5.3); triple goldens exist per sf so
+        # kg_triple_metrics can grade at the driver's sf0.01 too
+        ext = res["extracted"].sort_values("url")
+        with open(os.path.join(GOLDEN_DIR, "extraction.jsonl"), "w") as f:
+            for r in ext.itertuples(index=False):
+                f.write(json.dumps({"url": r.url, "text_sha": r.text_sha,
+                                    "n_chars": int(r.n_chars)}) + "\n")
     keys = sorted(triple_keys(res["triples_raw"]))
-    with open(os.path.join(GOLDEN_DIR, "triples_sf0001.json"), "w") as f:
+    with open(os.path.join(GOLDEN_DIR, f"triples_{tag}.json"), "w") as f:
         json.dump([list(k) for k in keys], f, indent=0)
-    print(f"goldens: {len(ext)} pages, {len(keys)} triples -> {GOLDEN_DIR}")
+    print(f"goldens: {len(res['extracted'])} pages, {len(keys)} triples "
+          f"-> {GOLDEN_DIR}/triples_{tag}.json")
 
 
 if __name__ == "__main__":

@@ -143,3 +143,29 @@ def test_split_is_deterministic_stable_and_independent(spark):
         spark, SF001, rates={}, default_rate=0.5).collect()}
     kept_train = sum(1 for d in kept if a[d] == "train") / len(kept)
     assert 0.7 < kept_train < 0.9
+
+
+def test_mixture_sample_boundary_matches_oracle(spark, tmp_path):
+    """ADVICE r05: the keep/drop decision must use the RAW deviate (the
+    SQL oracle's unrounded WHERE), not the rounded output column — a doc
+    whose u lies within 5e-7 below a rate boundary was kept by DuckDB
+    but dropped by Spark. The doc_ids below land u in exactly that flip
+    zone for rate 0.25 (u in [0.2499995, 0.25), round6(u) == 0.250000)."""
+    import duckdb
+    import pandas as pd
+
+    flip = [2563151, 3574991, 4586831]
+    pd.DataFrame({
+        "doc_id": flip + [1, 2, 3, 1000, 2000],
+        "source": ["boundary"] * 8,
+    }).to_parquet(tmp_path / "documents.parquet")
+    rates = {"boundary": 0.25}
+    got = CU.curation_mixture_sample(spark, str(tmp_path), rates=rates)
+    kept = {r.doc_id for r in got.collect()}
+    assert set(flip) <= kept, "flip-zone docs must be kept (raw u < rate)"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    want = {r[0] for r in con.execute(
+        CU.sql_curation_mixture_sample(rates=rates)).fetchall()}
+    assert kept == want

@@ -84,3 +84,38 @@ def test_kg_entity_pagerank_matches_reference(spark):
     assert set(got) == set(want)
     for v, r in want.items():
         assert abs(got[v] - round(r, 6)) < 1e-6
+
+
+def test_lsh_graph_degrees_equal_ngram_witness(spark, pair_rows):
+    """The 100 TB edge base (VERDICT r05 #1): minhash-LSH verified pairs
+    carry the EXACT Jaccard and, on the fixture corpus where LSH recall
+    is full (injected near-dups sit high on the S-curve), the pair set
+    equals the exhaustive ngram join — so the LSH-based degrees must be
+    row-identical to the SQL-oracled ngram witness."""
+    from joint_entity_and_relation_extraction_spark.operators.dedup import (
+        minhash_lsh_pairs)
+
+    lsh = {(r.d1, r.d2): r.jaccard
+           for r in minhash_lsh_pairs(spark, SF001, n=2,
+                                      threshold=0.2).collect()}
+    ngram = {(r.d1, r.d2): r.jaccard for r in pair_rows}
+    assert lsh == ngram, "fixture LSH recall must be full for this pin"
+    got = sorted(map(tuple, G.graph_degrees_lsh(spark, SF001, n=2,
+                                                threshold=0.2).collect()))
+    want = sorted(map(tuple, G.graph_degrees(spark, SF001, n=2,
+                                             threshold=0.2).collect()))
+    assert got == want
+
+
+def test_lsh_pagerank_matches_python_reference(spark, pair_rows):
+    """graph_pagerank_lsh == the independent python power iteration over
+    the (fixture-complete) LSH pair graph."""
+    edges = [(r.d1, r.d2) for r in pair_rows] + \
+            [(r.d2, r.d1) for r in pair_rows]
+    want = _python_pagerank(edges, iters=10, damping=0.85)
+    got = {r.id: r.pagerank
+           for r in G.graph_pagerank_lsh(spark, SF001, n=2, threshold=0.2,
+                                         iters=10, damping=0.85).collect()}
+    assert set(got) == set(want)
+    for v, r in want.items():
+        assert abs(got[v] - round(r, 6)) < 1e-6, (v, got[v], r)

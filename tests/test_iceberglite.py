@@ -539,3 +539,27 @@ def test_zorder_cluster_prunes_on_both_dimensions(spark, tmp_path):
     cur = il.read(spark, zo)
     assert cur.columns == ["o_orderkey", "o_totalprice", "o_custkey"]
     assert cur.exceptAll(o).isEmpty() and o.exceptAll(cur).isEmpty()
+
+
+def test_merge_upsert_escaped_and_null_partition_values(spark, tbl):
+    """ADVICE r05: partition values Spark path-escapes (':' -> '%3A') or
+    writes as __HIVE_DEFAULT_PARTITION__ (NULL) were read-pruned OUT of
+    the merge scan yet kept in kept_units, so the committed snapshot held
+    BOTH the old and the updated row. Every partition value must match
+    its on-disk path spelling, and MERGE must stay key-unique."""
+    rows = [("a:b", 1), (None, 2), ("plain", 3)]
+    il.append(spark.createDataFrame(rows, "k string, v int"), tbl, ["k"])
+    updates = spark.createDataFrame([("a:b", 10), (None, 20)],
+                                    "k string, v int")
+    il.merge_upsert(spark, updates, tbl, ["k"])
+    got = sorted(il.read(spark, tbl).collect(),
+                 key=lambda r: (r.k is None, r.k or ""))
+    assert [(r.k, r.v) for r in got] == [("a:b", 10), ("plain", 3),
+                                         (None, 20)]
+    # key-uniqueness contract: one row per key, not old+new
+    assert il.read(spark, tbl).groupBy("k").count().filter(
+        "count > 1").count() == 0
+    # read-side where pruning must accept RAW values for escaped/null too
+    assert [(r.k, r.v) for r in il.read(spark, tbl,
+                                        where={"k": "a:b"}).collect()] \
+        == [("a:b", 10)]

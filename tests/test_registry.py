@@ -2,6 +2,8 @@
 queries vs their DuckDB oracles; rows-only queries run and return sane
 shapes; entry() smoke check."""
 
+import os
+
 import pytest
 
 import __spark_entry__ as entrymod
@@ -60,36 +62,75 @@ def test_oracle_keys_subset_of_queries():
     assert set(registry.all_oracles()) <= set(registry.all_queries())
 
 
-# The EXACT relational membership of the r05 driver window (ADVICE r04:
-# a must-subset assertion let 7 analytics additions silently evict 7
-# relational queries in r04 — this list makes any reordering/addition
-# that changes the window loud). ANALYTICS + KG fill the first 35 slots;
-# these 15 relational names fill the rest, in this order.
-R05_WINDOW_RELATIONAL = [
-    "stream_session_batch",
-    # r05 hoist (VERDICT r04 item 2): never driver-checked before
-    "window_ntile_percent", "iceberg_stats_skipping",
-    "agg_exact_percentile", "join_null_safe",
-    "unpivot_measures", "join_range_bucketed", "higher_order_funcs",
-    "sample_stratified", "agg_approx_percentile",
-    "scan_project", "filter_pushdown", "join_asof",
+# Independent pinned copy of the r06 driver window (registry.WINDOW): a
+# deliberate rotation edits BOTH files, so an accidental edit of either
+# is loud — the exact-membership discipline that stopped the r02/r04
+# silent evictions, carried into the explicit-window mechanism.
+EXPECTED_WINDOW_R06 = [
+    "kg_triple_metrics",
+    "text_repetition", "text_unigram_logprob", "text_pii_scrub",
+    "text_length_histogram", "text_ngram_topk",
+    "curation_quality_filter", "curation_score_normalize",
+    "curation_mixture_sample", "curation_contamination", "curation_split",
+    "pack_manifest", "dedup_clusters_incremental",
+    "graph_degrees", "graph_pagerank", "kg_entity_pagerank",
+    "graph_degrees_lsh", "graph_pagerank_lsh",
+    "agg_stats_funcs", "stream_interval_join_batch", "iceberg_cluster_scan",
+    "join_lateral", "window_first_last", "iceberg_zorder_scan",
+    "set_union_all", "set_intersect", "set_except", "distinct_rows",
+    "string_funcs", "date_funcs", "math_funcs", "array_funcs",
+    "json_funcs", "explode_array", "pivot_event_type",
+    "set_union_distinct", "window_range_interval", "agg_grouping_sets",
+    "map_funcs", "subquery_scalar", "conditional_funcs", "sort_nulls",
+    "agg_salted_skew", "join_asof_agg", "stream_tumbling_batch",
+    "join_salted", "iceberg_snapshot_scan", "udtf_word_pos",
+    "agg_approx_distinct", "sample_frac",
 ]
 
 
 def test_driver_window_covers_priority_queries():
     """The driver hash-checks only the first ~50 all_queries() entries
     (every CORRECTNESS file so far cut at exactly 50, in dict order).
-    Assert the FULL expected window membership — analytics + KG chain +
-    the exact 15 relational slots — not a must-subset: r02 lost 22
-    queries and r04 another 7 to silent eviction when entries were
-    appended (VERDICT r02 finding #1, ADVICE r04 finding #1)."""
+    From r06 the window is the explicit registry.WINDOW list; assert the
+    emitted prefix equals the independently pinned copy above."""
     window = list(registry.all_queries())[: registry.DRIVER_WINDOW]
-    expected = (list(registry.ANALYTICS_QUERIES)
-                + list(registry.KG_QUERIES)
-                + R05_WINDOW_RELATIONAL)
-    assert window == expected, (
-        f"driver window drifted:\n evicted={sorted(set(expected) - set(window))}"
-        f"\n intruded={sorted(set(window) - set(expected))}")
+    assert window == EXPECTED_WINDOW_R06, (
+        f"driver window drifted:\n"
+        f" evicted={sorted(set(EXPECTED_WINDOW_R06) - set(window))}\n"
+        f" intruded={sorted(set(window) - set(EXPECTED_WINDOW_R06))}")
+
+
+def test_every_query_driver_checked_within_3_rounds():
+    """Stamp-age rotation rule (VERDICT r05 item 4): every registered
+    query must either hold a driver row from one of the last 3 committed
+    CORRECTNESS rounds or sit in the CURRENT window (which buys it a row
+    this round) — old green stamps decay, because any refactor of the
+    query plans silently invalidates them without driver re-verification.
+    Computed from the committed CORRECTNESS_r0*.json files, so the rule
+    self-schedules future rotations (e.g. the 12 queries last checked in
+    r03 force themselves into the r07 window)."""
+    import glob
+    import json
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds: dict[int, set] = {}
+    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"_r0*(\d+)\.json$", f).group(1))
+        with open(f) as fh:
+            rounds[rnd] = set(json.load(fh))
+    assert rounds, "no committed CORRECTNESS files found"
+    newest = max(rounds)
+    recent: set = set()
+    for rnd, names in rounds.items():
+        if rnd > newest - 3:
+            recent |= names
+    window = set(registry.WINDOW)
+    stale = sorted(q for q in registry.all_queries()
+                   if q not in recent and q not in window)
+    assert not stale, (
+        f"queries with no driver row in rounds >{newest - 3} and not in "
+        f"the current window (hoist them): {stale}")
 
 
 def test_entry_smoke(spark):
@@ -97,3 +138,18 @@ def test_entry_smoke(spark):
     rows = df.limit(5).collect()
     assert len(df.columns) == 7
     assert len(rows) >= 0
+
+
+def test_kg_triple_metrics_perfect_vs_goldens(spark):
+    """The north-rule witness at the small fixture: the Spark chain must
+    reproduce the committed sf0.001 goldens exactly — P = R = F1 = 1.0
+    with all three counts equal to the golden-file size."""
+    import json
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "goldens", "triples_sf0001.json")) as f:
+        n = len(json.load(f))
+    row = registry.all_queries()["kg_triple_metrics"](
+        spark, "/root/testdata/sf0.001").collect()[0]
+    assert (row.n_golden, row.n_spark, row.n_match) == (n, n, n)
+    assert row.precision == row.recall == row.f1 == 1.0

@@ -416,3 +416,52 @@ def test_stream_stream_interval_join_matches_batch(spark, late_chunks):
     want_ontime = {t for t in want_all if t[0] not in late}
     assert want_ontime, "fixture should contain on-time recrawl pairs"
     assert want_ontime <= got_set <= want_all
+
+
+def test_crash_replay_still_folds_labels(spark, tmp_path):
+    """ADVICE r05: a crash AFTER the docs append but BEFORE the label
+    fold replays with every batch doc already ingested — the
+    re-delivery anti-join early return must then fold the batch's
+    PERSISTED pairs instead of skipping the cluster merges forever."""
+    from joint_entity_and_relation_extraction_spark.sources import (
+        iceberglite as il)
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    batch = spark.createDataFrame(
+        [(f"https://fold-{i}.test/p", base)
+         for i in range(4)], "url string, text string")
+    roots = {k: str(tmp_path / k)
+             for k in ("index", "docs", "pairs", "labels")}
+    handler = S.dedup_index_handler(roots["index"], roots["docs"],
+                                    roots["pairs"],
+                                    labels_root=roots["labels"])
+
+    real_fold = S._fold_labels
+    calls = []
+
+    def crashing_fold(spark_, pairs, labels_root):
+        calls.append(1)
+        raise RuntimeError("simulated crash before label fold")
+
+    S._fold_labels = crashing_fold
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            handler(batch, 0)
+    finally:
+        S._fold_labels = real_fold
+    assert calls, "fixture must actually reach the fold step"
+    # docs/pairs committed, labels never folded — the divergent state
+    assert il.exists(roots["pairs"]) and not il.exists(roots["labels"])
+    n_pairs = il.read(spark, roots["pairs"]).count()
+    assert n_pairs > 0, "fixture must produce near-dup pairs"
+    # checkpoint replay: same batch_df, same batch_id
+    handler(batch, 0)
+    assert il.exists(roots["labels"]), "replay must fold the labels"
+    labels = il.read(spark, roots["labels"])
+    # the 4 near-identical docs form one cluster
+    assert labels.count() == 4
+    assert labels.select("cluster_id").distinct().count() == 1
+    # and a SECOND replay of the same batch changes nothing (idempotent)
+    snaps = len(il.snapshots(roots["labels"]))
+    handler(batch, 0)
+    assert len(il.snapshots(roots["labels"])) == snaps
