@@ -46,10 +46,13 @@ Design choices, all load-bearing on this shared host (BENCH/BASELINE.md):
   kernel"; `--stage-attr` runs at both scaling points inside the
   standard bench (stage_walls_{n,4n} in the JSON) so a red gate is
   attributable from the artifact alone, and stays invocable standalone.
-- The query suite waits for its own quiet window, and always measures
-  the lsh query in BOTH scan shapes (read_docs cluster-width vs the r04
-  bare read_table) back-to-back — the same-window A/B that settles
-  "which shape wins at width CPUS" from the artifact (VERDICT r05 #3).
+- The query suite waits for its own quiet window and reports MEDIANS of
+  an odd number of full passes (repeats spread by pass, so one neighbor
+  burst can contaminate at most one repeat per query; every run + start
+  loadavg disclosed), and always measures the lsh query in BOTH scan
+  shapes (read_docs cluster-width vs the r04 bare read_table) — the
+  same-window A/B that settles "which shape wins at width CPUS" from
+  the artifact (VERDICT r05 #3).
 - The multi-repeat headline records per-run [start, end] loadavg and
   escalates 3 -> 5 runs when the in-window spread exceeds 1.5x
   (VERDICT r04 item 5).
@@ -373,39 +376,56 @@ def child_attr(master: str, kind: str) -> None:
 
 
 def child_query_suite() -> None:
+    """Suite times are MEDIANS over an odd number of full PASSES (r06):
+    a single pass absorbed whatever neighbor burst landed mid-suite —
+    the entire r05 "+48%/+91% regression" story, and this round's first
+    pass showed the same late-suite contamination (a 2.3s-idle query
+    measuring 35s under a burst). Repeating by PASS rather than
+    back-to-back spreads each query's repeats across the window, so one
+    burst can contaminate at most one repeat of each query; every run +
+    its start loadavg is disclosed in the artifact.
+
+    The `dedup_minhash_lsh_r04shape` pseudo-entry is the permanent
+    paired A/B (VERDICT r05 item 3): the SAME lsh query with the r04
+    file-granular scan (bare read_table) instead of the r05
+    cluster-width read_docs, measured in the same windows as the tracked
+    entry — so the read_docs decision is re-validated from the artifact
+    every round (jobs/ab_lsh_shape.py is the standalone version)."""
+    from joint_entity_and_relation_extraction_spark.operators import dedup as DD
     from joint_entity_and_relation_extraction_spark.plans import registry
     from joint_entity_and_relation_extraction_spark.session import build_session
+    from joint_entity_and_relation_extraction_spark.sources.io import read_table
 
+    passes = int(os.environ.get("JERS_BENCH_QUERY_PASSES", "3"))
     spark = build_session(master=f"local[{CPUS}]", app_name="jers-bench-queries")
     _warmup(spark)
     qs = registry.all_queries()
-    times: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        t0 = time.monotonic()
-        qs[name](spark, SF_DIR).count()
-        times[name] = round(time.monotonic() - t0, 3)
-    # Permanent paired A/B (VERDICT r05 item 3): the SAME lsh query with
-    # the r04 file-granular scan (bare read_table) instead of the r05
-    # cluster-width read_docs, measured back-to-back in the same window
-    # as the tracked entry — so the read_docs decision is re-validated
-    # from the artifact every round instead of argued from memory.
-    # (BENCH_r05's +48%/+91% "regressions" were measured in a suite
-    # window with loadavg ~30 and no quiet guard; jobs/ab_lsh_shape.py
-    # is the standalone version of this pair.)
-    from joint_entity_and_relation_extraction_spark.operators import dedup as DD
-    from joint_entity_and_relation_extraction_spark.sources.io import read_table
-
     real_read_docs = DD.read_docs
-    DD.read_docs = lambda s, d: read_table(s, d, "documents")
-    try:
-        t0 = time.monotonic()
-        DD.minhash_lsh_pairs(spark, SF_DIR, n=2, threshold=0.2).count()
-        times["dedup_minhash_lsh_r04shape"] = round(time.monotonic() - t0, 3)
-    finally:
-        DD.read_docs = real_read_docs
+
+    def lsh_r04shape():
+        DD.read_docs = lambda s, d: read_table(s, d, "documents")
+        try:
+            DD.minhash_lsh_pairs(spark, SF_DIR, n=2, threshold=0.2).count()
+        finally:
+            DD.read_docs = real_read_docs
+
+    entries = [(n, (lambda name=n: qs[name](spark, SF_DIR).count()))
+               for n in BENCH_QUERIES]
+    entries.append(("dedup_minhash_lsh_r04shape", lsh_r04shape))
+    runs: dict[str, list[float]] = {n: [] for n, _ in entries}
+    loads: dict[str, list[float]] = {n: [] for n, _ in entries}
+    for _ in range(passes):
+        for name, fn in entries:
+            loads[name].append(round(os.getloadavg()[0], 1))
+            t0 = time.monotonic()
+            fn()
+            runs[name].append(round(time.monotonic() - t0, 3))
     registry.clear_caches()
     spark.stop()
-    print(json.dumps(times))
+    print(json.dumps({
+        "median": {n: round(statistics.median(v), 3)
+                   for n, v in runs.items()},
+        "runs": runs, "load1": loads}))
 
 
 # --------------------------------------------------------------------------
@@ -553,7 +573,8 @@ def main() -> None:
     # ~30 — the whole +48%/+91% "regression" story of VERDICT r05 item 3
     # was neighbor load the suite numbers silently absorbed.
     quiet_log.append(_await_quiet_window("query_suite"))
-    qtimes = _run_child("--queries")
+    qres = _run_child("--queries")
+    qtimes = qres["median"]
     qtotal = sum(qtimes.values())
 
     os.makedirs("BENCH", exist_ok=True)
@@ -658,15 +679,17 @@ Barriers change the fused pipeline's overlap, so these walls say WHERE a
 scaling loss lives (which stage's N/4N ratio collapsed), not how big the
 gate ratio is — the unbarriered pair above is the gate.
 
-Query suite at local[{CPUS}] (seconds, own quiet window —
+Query suite at local[{CPUS}] (seconds; median of an odd number of full
+passes in its own quiet window, every run + start-loadavg shown —
 `dedup_minhash_lsh_r04shape` is the same lsh query with the r04
 file-granular scan, the permanent same-window A/B for the read_docs
 cluster-width decision):
 
 """)
         for k, v in qtimes.items():
-            f.write(f"- {k}: {v}\n")
-        f.write(f"\nTotal query suite: {round(qtotal, 2)}s\n")
+            f.write(f"- {k}: {v}  (runs {qres['runs'][k]}, "
+                    f"load1 {qres['load1'][k]})\n")
+        f.write(f"\nTotal query suite (median pass): {round(qtotal, 2)}s\n")
 
     print(json.dumps({
         # headline = realistic-residue production run (VERDICT r03 item 4)
@@ -674,6 +697,8 @@ cluster-width decision):
         "value": real["sec"],
         "unit": "sec",
         "queries": qtimes,
+        "queries_runs": qres["runs"],
+        "queries_load1": qres["load1"],
         "sf": float(sf),
         "docs_per_sec_n": lo["docs_per_sec"],
         "docs_per_sec_4n": hi["docs_per_sec"],

@@ -221,3 +221,20 @@ def test_incremental_dedup_verify_is_candidate_scoped(spark):
     df = DD.minhash_incremental_pairs(spark, SF001, n=2, threshold=0.2)
     p = df._jdf.queryExecution().optimizedPlan().toString()
     assert "LeftSemi" in p
+
+
+def test_lsh_graph_degrees_plan_is_banded_equi_join(spark):
+    """The 100 TB graph edge base must keep the LSH shape: the candidate
+    stage is an EQUI join on the banded keys (no CartesianProduct /
+    BroadcastNestedLoop anywhere), and the pair subtree is checkpointed
+    so the signature UDF is not re-executed per symmetrized direction."""
+    from joint_entity_and_relation_extraction_spark.operators import graph as G
+
+    df = G.graph_degrees_lsh(spark, "/root/testdata/sf0.001")
+    p = plan_str(df, execute=True)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # degrees read the checkpointed pair RDD, not the full lsh lineage:
+    # the minhash signature stage must not appear in THIS plan
+    assert "Scan ExistingRDD" in p
+    assert p.count("ArrowEvalPython") == 0
