@@ -34,6 +34,9 @@ SHOW = [
     "stream_interval_join_batch",  # event-time interval join shape
     "graph_degrees",          # symmetrized edges, map-side-combinable agg
     "curation_score_normalize",    # grouped moments broadcast back, no window
+    # r06
+    "graph_degrees_lsh",      # banded-LSH edge base: equi-join, no NL
+    "kg_triple_metrics",      # strict-key full-outer vs goldens, one agg
 ]
 
 
