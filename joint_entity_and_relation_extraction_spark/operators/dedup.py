@@ -691,3 +691,161 @@ pairs AS (
 )
 SELECT v1, v2, label, ROUND(c, 6) AS cos FROM pairs WHERE ROUND(c, 6) >= {threshold}
 """
+
+
+# --- substring-level (n-gram span) dedup ------------------------------------
+#
+# Spark-native rendition of suffix-array exact-substring dedup (Lee et al.
+# 2021, "Deduplicating Training Data Makes Language Models Better"): a
+# span of SUBSTR_N consecutive words that occurs in >= 2 distinct documents
+# is "duplicated text". A distributed suffix array is the wrong tool on
+# Spark; the equivalent fixed-length formulation — corpus document
+# frequency of every word n-gram — is a map-side-combinable groupBy on a
+# uniform 128-bit md5 key followed by a left-semi join back, which scales
+# exactly like the other dedup variants (shuffle on hash keys, no skew
+# cap needed because the aggregate is partial-combinable and the semi
+# join probe side is the gram table itself).
+
+#: span length in words. Lee et al. use 50 BPE tokens; the synthetic
+#: fixture docs average ~56 words, so 8 keeps the witness non-trivial
+#: (45/500 docs carry a duplicated span at sf0.001).
+SUBSTR_N = 8
+
+
+def _gram_positions(spark: SparkSession, sf_dir: str, n: int):
+    """(doc_id, pos, g): md5 of the n consecutive words starting at
+    1-based word position pos — one whole-stage-codegen projection
+    (split → transform over index sequence → slice → md5), then a single
+    posexplode. O(total words) rows, never O(words²)."""
+    d = read_docs(spark, sf_dir)
+    grams = F.expr(
+        f"transform(sequence(1, size(split(text, ' ')) - {n - 1}), "
+        f"i -> md5(concat_ws(' ', slice(split(text, ' '), i, {n}))))")
+    return (
+        d.filter(F.size(F.split("text", " ")) >= n)
+        .select("doc_id", F.posexplode(grams).alias("pos0", "g"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
+    )
+
+
+def substring_dup_spans(spark: SparkSession, sf_dir: str,
+                        n: int = SUBSTR_N, min_docs: int = 2) -> DataFrame:
+    """Per-document duplicated-span report: of the doc's n_grams word
+    n-grams, how many (dup_grams) occur in >= min_docs DISTINCT documents
+    corpus-wide. Only documents carrying at least one duplicated span are
+    returned. n_words is recovered as n_grams + n - 1 (one gram per word
+    position), so the doc text is scanned exactly once.
+
+    Plan shape: grams feed the dup-key aggregate, the flag semi-join AND
+    the per-doc totals — three consumers, so the subtree is
+    localCheckpointed (CLAUDE.md shared-subtree invariant). The dup-key
+    set is data-dependent (can be huge on a crawl corpus), so the join
+    back is a shuffle left-semi on the md5 key, NOT a broadcast.
+    """
+    grams = _gram_positions(spark, sf_dir, n).localCheckpoint(eager=False)
+    dup_keys = (grams.groupBy("g")
+                .agg(F.countDistinct("doc_id").alias("df"))
+                .filter(F.col("df") >= min_docs).select("g"))
+    per_doc = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    dup_per_doc = (grams.join(dup_keys, "g", "left_semi")
+                   .groupBy("doc_id").agg(F.count("*").alias("dup_grams")))
+    return (
+        dup_per_doc.join(per_doc, "doc_id")
+        .select("doc_id",
+                (F.col("n_grams") + F.lit(n - 1)).alias("n_words"),
+                "n_grams", "dup_grams",
+                F.round(F.col("dup_grams").cast("double")
+                        / F.col("n_grams"), 6).alias("dup_frac"))
+    )
+
+
+def sql_substring_dup_spans(n: int = SUBSTR_N, min_docs: int = 2) -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+gr AS (
+  SELECT doc_id, i AS pos,
+         MD5(ARRAY_TO_STRING(w[i:i+{n - 1}], ' ')) AS g
+  FROM toks, UNNEST(GENERATE_SERIES(1, LEN(w) - {n - 1})) AS t(i)
+  WHERE LEN(w) >= {n}
+),
+dup AS (SELECT g FROM gr GROUP BY g HAVING COUNT(DISTINCT doc_id) >= {min_docs}),
+per_doc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+            FROM gr GROUP BY doc_id),
+dd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_grams
+       FROM gr WHERE g IN (SELECT g FROM dup) GROUP BY doc_id)
+SELECT dd.doc_id, per_doc.n_grams + {n - 1} AS n_words,
+       per_doc.n_grams, dd.dup_grams,
+       ROUND(CAST(dd.dup_grams AS DOUBLE) / per_doc.n_grams, 6) AS dup_frac
+FROM dd JOIN per_doc USING (doc_id)
+"""
+
+
+def substring_scrub_stats(spark: SparkSession, sf_dir: str,
+                          n: int = SUBSTR_N, min_docs: int = 2) -> DataFrame:
+    """How much text Lee-et-al.-style span removal would delete: the
+    duplicated positions of a doc cover overlapping [pos, pos+n) word
+    intervals; the total covered width is n for the first position plus
+    min(gap, n) for each subsequent one (gap = pos - previous pos), which
+    a single LAG window over (doc_id, pos) computes without materializing
+    merged intervals. Window partitions are per-document, bounded by doc
+    length — no skew risk at corpus scale."""
+    from pyspark.sql import Window
+
+    grams = _gram_positions(spark, sf_dir, n).localCheckpoint(eager=False)
+    dup_keys = (grams.groupBy("g")
+                .agg(F.countDistinct("doc_id").alias("df"))
+                .filter(F.col("df") >= min_docs).select("g"))
+    flagged = grams.join(dup_keys, "g", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    covered = (
+        flagged.withColumn("prev", F.lag("pos").over(w))
+        .withColumn("inc", F.when(F.col("prev").isNull(), F.lit(n))
+                    .otherwise(F.least(F.col("pos") - F.col("prev"),
+                                       F.lit(n))))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("dup_positions"),
+             F.sum("inc").cast("long").alias("words_removed"))
+    )
+    per_doc = grams.groupBy("doc_id").agg(
+        (F.count("*") + F.lit(n - 1)).alias("n_words"))
+    return (
+        covered.join(per_doc, "doc_id")
+        .select("doc_id", "n_words", "dup_positions", "words_removed",
+                F.round((F.col("n_words") - F.col("words_removed"))
+                        .cast("double") / F.col("n_words"), 6)
+                .alias("kept_frac"))
+    )
+
+
+def sql_substring_scrub_stats(n: int = SUBSTR_N, min_docs: int = 2) -> str:
+    # SUM(int) is HUGEINT in DuckDB — cast to BIGINT (CLAUDE.md invariant)
+    return f"""
+WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+gr AS (
+  SELECT doc_id, i AS pos,
+         MD5(ARRAY_TO_STRING(w[i:i+{n - 1}], ' ')) AS g
+  FROM toks, UNNEST(GENERATE_SERIES(1, LEN(w) - {n - 1})) AS t(i)
+  WHERE LEN(w) >= {n}
+),
+dup AS (SELECT g FROM gr GROUP BY g HAVING COUNT(DISTINCT doc_id) >= {min_docs}),
+flagged AS (SELECT doc_id, pos FROM gr WHERE g IN (SELECT g FROM dup)),
+gaps AS (
+  SELECT doc_id, pos,
+         LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM flagged
+),
+covered AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_positions,
+         CAST(SUM(CASE WHEN prev IS NULL THEN {n}
+                       ELSE LEAST(pos - prev, {n}) END) AS BIGINT)
+           AS words_removed
+  FROM gaps GROUP BY doc_id
+),
+per_doc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) + {n - 1} AS n_words
+            FROM gr GROUP BY doc_id)
+SELECT covered.doc_id, per_doc.n_words, covered.dup_positions,
+       covered.words_removed,
+       ROUND(CAST(per_doc.n_words - covered.words_removed AS DOUBLE)
+             / per_doc.n_words, 6) AS kept_frac
+FROM covered JOIN per_doc USING (doc_id)
+"""

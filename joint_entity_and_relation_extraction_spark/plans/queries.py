@@ -1079,6 +1079,103 @@ FROM orders WHERE o_totalprice BETWEEN 60000.0 AND 140000.0
 """
 
 
+_ICEBERG_INC_CACHE: dict = {}
+
+
+def q_iceberg_incremental_scan(spark, sf):
+    """Incremental append scan (Iceberg CDC-append read) as a
+    driver-gradable query: `supplier` lands in three appends split by
+    s_suppkey % 3, then read_incremental from the FIRST snapshot must
+    return exactly the rows of appends 2+3 — decided metadata-only from
+    the manifest's per-snapshot `added` unit lists (the per-batch-cost
+    contract the streaming ingest relies on). Oracle: the complement
+    filter over the source table. compact-skip / delete-raise semantics
+    are pinned in tests/test_iceberglite.py. Staged R07_PENDING (written
+    after the r06 window froze; seats free up in r07)."""
+    import shutil
+    import tempfile
+
+    from ..sources import iceberglite as il
+
+    key = (spark.sparkContext.applicationId, sf)
+    if key not in _ICEBERG_INC_CACHE:
+        if not _ICEBERG_INC_CACHE:
+            import atexit
+
+            atexit.register(lambda: [
+                shutil.rmtree(root, ignore_errors=True)
+                for root, _ in _ICEBERG_INC_CACHE.values()])
+        for old in [k for k in _ICEBERG_INC_CACHE if k[0] != key[0]]:
+            shutil.rmtree(_ICEBERG_INC_CACHE.pop(old)[0], ignore_errors=True)
+        s = read_table(spark, sf, "supplier").select(
+            "s_suppkey", "s_name", "s_nationkey")
+        root = tempfile.mkdtemp(prefix="jers-iceberg-inc-")
+        s1 = il.append(s.filter(F.col("s_suppkey") % 3 == 0), root, [])
+        il.append(s.filter(F.col("s_suppkey") % 3 == 1), root, [])
+        il.append(s.filter(F.col("s_suppkey") % 3 == 2), root, [])
+        _ICEBERG_INC_CACHE[key] = (root, s1)
+    root, s1 = _ICEBERG_INC_CACHE[key]
+    return il.read_incremental(spark, root, from_snapshot=s1)
+
+
+SQL_ICEBERG_INCREMENTAL_SCAN = """
+SELECT s_suppkey, s_name, s_nationkey
+FROM supplier WHERE s_suppkey % 3 <> 0
+"""
+
+
+_ICEBERG_BLOOM_CACHE: dict = {}
+
+#: point-lookup keys for the witness — literal on both engines; parity
+#: holds whether or not an id exists (both sides return the same rows)
+_BLOOM_LOOKUP_IDS = (7, 123, 400)
+
+
+def q_iceberg_bloom_lookup(spark, sf):
+    """Bloom-filter point-lookup file skipping as a driver-gradable
+    query: `documents` lands in four doc_id-striped appends with
+    bloom_cols=["doc_id"], then a three-key point lookup reads with
+    where_point — units whose bloom provably excludes every key are never
+    listed (min/max bounds cannot prune here: each stripe's doc_id range
+    spans the whole domain). The exact row filter still applies, so a
+    bloom false positive can only cost I/O, never correctness; that files
+    ARE skipped is pinned in tests/test_iceberglite.py. Oracle: the
+    equivalent IN-filter over the source table. Staged R07_PENDING."""
+    import shutil
+    import tempfile
+
+    from ..sources import iceberglite as il
+
+    key = (spark.sparkContext.applicationId, sf)
+    if key not in _ICEBERG_BLOOM_CACHE:
+        if not _ICEBERG_BLOOM_CACHE:
+            import atexit
+
+            atexit.register(lambda: [
+                shutil.rmtree(root, ignore_errors=True)
+                for root in _ICEBERG_BLOOM_CACHE.values()])
+        for old in [k for k in _ICEBERG_BLOOM_CACHE if k[0] != key[0]]:
+            shutil.rmtree(_ICEBERG_BLOOM_CACHE.pop(old), ignore_errors=True)
+        d = read_table(spark, sf, "documents").select(
+            "doc_id", "lang", "source")
+        root = tempfile.mkdtemp(prefix="jers-iceberg-bloom-")
+        for stripe in range(4):
+            il.append(d.filter(F.col("doc_id") % 4 == stripe), root, [],
+                      bloom_cols=["doc_id"])
+        _ICEBERG_BLOOM_CACHE[key] = root
+    root = _ICEBERG_BLOOM_CACHE[key]
+    ids = list(_BLOOM_LOOKUP_IDS)
+    return (il.read(spark, root, where_point={"doc_id": ids})
+            .filter(F.col("doc_id").isin(ids))
+            .select("doc_id", "lang", "source"))
+
+
+SQL_ICEBERG_BLOOM_LOOKUP = f"""
+SELECT doc_id, lang, source
+FROM documents WHERE doc_id IN {_BLOOM_LOOKUP_IDS}
+"""
+
+
 def q_udtf_word_pos(spark, sf):
     """Python UDTF (SURVEY.md §2.5 row closed — Spark 4 F.udtf): a
     table function emitting (pos, word) for a document's first 5 words,

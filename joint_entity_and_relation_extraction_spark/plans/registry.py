@@ -22,6 +22,7 @@ from ..operators import pandas_ops as PO
 from ..operators import similarity as SIM
 from ..operators import textstats as TS
 from ..operators.webpages import web_pages
+from . import queries as QQ
 from .queries import RELATIONAL_ORACLE, RELATIONAL_QUERIES
 
 
@@ -363,6 +364,38 @@ TRAINING_ORACLE = {
     "graph_degrees": GR.sql_graph_degrees(n=2, threshold=0.2),
     "dedup_clusters_incremental": DD.sql_neardup_clusters(n=2,
                                                           threshold=0.2),
+}
+
+
+# --- r06 late additions, STAGED for r07 ------------------------------------
+# Written after the r06 window froze. Unlike the r03–r05 late-addition
+# pools (registered but never driver-checked — dinged three rounds
+# running), these are NOT registered yet: the r06 window is exactly full
+# (21 never-checked + 3 new + 26 expiring-stamp = 50, see the rotation
+# accounting below), so registering them would either evict a mandatory
+# seat or recreate the unchecked-pool pattern. They are DuckDB-oracled and
+# pytest-parity-green now (tests/test_r07_pending.py runs the driver's
+# exact canon path on them); the r07 rotation moves both dicts into
+# TRAINING_QUERIES/_ORACLE + the WINDOW verbatim, where ~50 seats free up.
+R07_PENDING_QUERIES = {
+    # substring-level (fixed-n-gram) exact-duplicate span detection and
+    # scrub accounting — the Spark rendition of suffix-array dedup
+    # (Lee et al. 2021); see operators/dedup.py "substring-level" section
+    "dedup_substring_spans": DD.substring_dup_spans,
+    "dedup_substring_scrub": DD.substring_scrub_stats,
+    # Iceberg incremental append scan (CDC-append): manifest-only
+    # decision, per-batch cost bounded by new data
+    "iceberg_incremental_scan": QQ.q_iceberg_incremental_scan,
+    # per-unit bloom filters: point-lookup file skipping where min/max
+    # bounds cannot prune (uniformly striped ids)
+    "iceberg_bloom_lookup": QQ.q_iceberg_bloom_lookup,
+}
+
+R07_PENDING_ORACLE = {
+    "dedup_substring_spans": DD.sql_substring_dup_spans(),
+    "dedup_substring_scrub": DD.sql_substring_scrub_stats(),
+    "iceberg_incremental_scan": QQ.SQL_ICEBERG_INCREMENTAL_SCAN,
+    "iceberg_bloom_lookup": QQ.SQL_ICEBERG_BLOOM_LOOKUP,
 }
 
 

@@ -241,20 +241,118 @@ def _collect_unit_stats(root: str, units: list[str],
     return out
 
 
+# --- per-unit bloom filters (point-lookup file skipping) --------------------
+# The IcebergLite analogue of Iceberg's puffin blobs / Parquet column
+# bloom filters: a tiny per-unit bitset over a high-cardinality column
+# lets a needle-in-haystack point lookup skip every file that provably
+# does not contain the key — the third pruning level after partition
+# values and min/max bounds (min/max is useless for point lookups on
+# uniformly distributed ids, where every unit's range covers every key).
+# Collected driver-side from the written files here (single-box sandbox);
+# on a real cluster the executors emit per-file blooms at write time
+# (Parquet writes them natively) and the manifest only aggregates.
+
+#: ~9.6 bits/value gives ~1% false-positive rate with k=7 probes
+_BLOOM_BITS_PER_VALUE = 10
+_BLOOM_K = 7
+#: per-unit-per-column cap: 2^20 bits = 128 KiB of manifest growth;
+#: a unit with more values than fits records NO bloom (skipping is a
+#: pure optimization — absent stats never lose rows)
+_BLOOM_MAX_BITS = 1 << 20
+_BLOOM_MAX_VALUES = _BLOOM_MAX_BITS // _BLOOM_BITS_PER_VALUE
+
+
+def _bloom_hash_pair(value: object) -> tuple[int, int]:
+    """Two independent 64-bit hashes of the value's canonical string form
+    (write side reads values back via pyarrow; read side gets python
+    scalars from the caller — str() maps both to the same key; a cross-
+    type collision is only ever a false positive, never a lost row)."""
+    import hashlib
+
+    d = hashlib.md5(str(value).encode("utf-8")).digest()
+    return (int.from_bytes(d[:8], "little"),
+            int.from_bytes(d[8:], "little"))
+
+
+def _bloom_build(values, m: int) -> bytearray:
+    bits = bytearray(m // 8)
+    for v in values:
+        h1, h2 = _bloom_hash_pair(v)
+        for i in range(_BLOOM_K):
+            idx = (h1 + i * h2) % m
+            bits[idx >> 3] |= 1 << (idx & 7)
+    return bits
+
+
+def _bloom_contains(bloom: dict, value: object) -> bool:
+    import base64
+
+    m = bloom["m"]
+    bits = base64.b64decode(bloom["bits"])
+    h1, h2 = _bloom_hash_pair(value)
+    for i in range(_BLOOM_K):
+        idx = (h1 + i * h2) % m
+        if not bits[idx >> 3] & (1 << (idx & 7)):
+            return False
+    return True
+
+
+def _collect_unit_blooms(root: str, units: list[str],
+                         cols: list[str]) -> dict:
+    """{unit: {col: {"m": bits, "bits": base64}}} from the written
+    parquet. Over-cap units record nothing (see _BLOOM_MAX_VALUES)."""
+    import base64
+
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for u in units:
+        d = os.path.join(root, u)
+        per_col: dict[str, list] = {c: [] for c in cols}
+        n_rows = 0
+        for fname in sorted(os.listdir(d)):
+            if not fname.endswith(".parquet"):
+                continue
+            t = pq.read_table(os.path.join(d, fname), columns=cols)
+            n_rows += t.num_rows
+            if n_rows > _BLOOM_MAX_VALUES:
+                break
+            for c in cols:
+                per_col[c].extend(t.column(c).to_pylist())
+        if n_rows == 0 or n_rows > _BLOOM_MAX_VALUES:
+            continue
+        m = 8
+        while m < n_rows * _BLOOM_BITS_PER_VALUE:
+            m <<= 1
+        out[u] = {
+            c: {"m": m,
+                "bits": base64.b64encode(
+                    bytes(_bloom_build(
+                        (v for v in vals if v is not None), m))).decode()}
+            for c, vals in per_col.items()
+        }
+    return out
+
+
 def append(df: DataFrame, root: str, partition_by: list[str] | None = None,
            tag: str | None = None,
-           stats_cols: list[str] | None = None) -> int:
+           stats_cols: list[str] | None = None,
+           bloom_cols: list[str] | None = None) -> int:
     """SNK1: append a snapshot; returns the new snapshot id.
 
     ``tag`` is an idempotency token recorded in the snapshot (e.g. a
     streaming micro-batch id); see :func:`committed_tags`.
     ``stats_cols`` records per-unit [min, max] bounds for those columns
     in the manifest (from the parquet footers, no data read), enabling
-    :func:`read`'s ``where_range`` data skipping."""
+    :func:`read`'s ``where_range`` data skipping. ``bloom_cols`` records
+    per-unit bloom filters enabling ``where_point`` file skipping for
+    point lookups (where min/max bounds cannot prune)."""
     partition_by = partition_by or _load(root)["partition_by"]
     new_units = _write_snapshot(df, root, _new_token(), partition_by)
     stats = (_collect_unit_stats(root, new_units, stats_cols)
              if stats_cols else {})
+    blooms = (_collect_unit_blooms(root, new_units, bloom_cols)
+              if bloom_cols else {})
     schema_json = df.schema.json()
     with _meta_lock(root):
         m = _load(root)
@@ -264,6 +362,8 @@ def append(df: DataFrame, root: str, partition_by: list[str] | None = None,
         m["schema"] = schema_json
         if stats:
             m.setdefault("unit_stats", {}).update(stats)
+        if blooms:
+            m.setdefault("unit_blooms", {}).update(blooms)
         m["snapshots"].append({
             "id": snap_id, "parent": parent, "operation": "append",
             "units": _units_at(m, parent) + new_units, "added": new_units,
@@ -353,7 +453,8 @@ def partitions(root: str, snapshot: int | None = None) -> list[dict[str, str]]:
 
 def read(spark: SparkSession, root: str, snapshot: int | None = None,
          where: dict[str, object] | None = None,
-         where_range: dict[str, tuple] | None = None) -> DataFrame:
+         where_range: dict[str, tuple] | None = None,
+         where_point: dict[str, object] | None = None) -> DataFrame:
     """SRC2: scan at a snapshot with manifest-side partition pruning.
 
     ``where`` maps partition column → value (or list of values); matching is
@@ -368,6 +469,13 @@ def read(spark: SparkSession, root: str, snapshot: int | None = None,
     for the column always survive — stats only ever skip provably-
     non-matching data, so this is a pure optimization, and the caller
     still applies the exact row filter (min/max cannot).
+
+    ``where_point`` maps column → value (or list of values) for
+    needle-in-haystack point lookups: units are skipped via the per-unit
+    bloom filters recorded by append's ``bloom_cols`` (and the [min, max]
+    stats when also present). Bloom false positives only ever ADMIT a
+    unit; a recorded bloom never loses a row, and units without blooms
+    always survive — the caller still applies the exact row filter.
 
     When no units survive — the table is empty at this snapshot, or
     ``where`` pruned everything — returns an EMPTY DataFrame with the
@@ -403,12 +511,51 @@ def read(spark: SparkSession, root: str, snapshot: int | None = None,
                     return False
             return True
         units = [u for u in units if keep_range(u)]
+    if where_point:
+        # point-lookup skipping: a unit survives only if, for every
+        # looked-up column, SOME wanted value might be present — by the
+        # unit's bloom filter AND its [min, max] bounds when either is
+        # recorded (both only ever skip provably-absent keys; a unit with
+        # neither always survives, and the caller still applies the exact
+        # row filter)
+        unit_blooms = m.get("unit_blooms", {})
+        unit_stats = m.get("unit_stats", {})
+
+        def keep_point(u: str) -> bool:
+            bl = unit_blooms.get(u, {})
+            st = unit_stats.get(u, {})
+            for col, v in where_point.items():
+                vals = v if isinstance(v, (list, tuple, set)) else [v]
+
+                def might_have(x) -> bool:
+                    if col in st:
+                        lo, hi = st[col]
+                        if x < lo or x > hi:
+                            return False
+                    if col in bl and not _bloom_contains(bl[col], x):
+                        return False
+                    return True
+
+                if not any(might_have(x) for x in vals):
+                    return False
+            return True
+        units = [u for u in units if keep_point(u)]
+    return _assemble_units(spark, root, m, units, snap,
+                           empty_ctx=f"snapshot={snap}, where={where}")
+
+
+def _assemble_units(spark: SparkSession, root: str, m: dict,
+                    units: list[str], snap: int | None,
+                    empty_ctx: str = "") -> DataFrame:
+    """Shared tail of :func:`read` / :func:`read_incremental`: turn a
+    pruned unit list into a DataFrame projected to the schema committed
+    at ``snap`` (empty-with-schema when no units survive)."""
     if not units:
         schema_json = _schema_at(m, snap)
         if schema_json is None:
             raise ValueError(
                 f"IcebergLite table {root} has never been written"
-                f" (snapshot={snap}, where={where})")
+                f" ({empty_ctx})")
         from pyspark.sql.types import StructType
         return spark.createDataFrame([], StructType.fromJson(json.loads(schema_json)))
     # group by owning snap dir so partition columns resolve via basePath
@@ -436,6 +583,53 @@ def read(spark: SparkSession, root: str, snapshot: int | None = None,
                 for f in want.fields]
         out = out.select(*cols)
     return out
+
+
+def read_incremental(spark: SparkSession, root: str, from_snapshot: int,
+                     to_snapshot: int | None = None) -> DataFrame:
+    """Incremental append scan (Iceberg's ``incremental read`` /
+    CDC-append semantics): the rows ADDED strictly after ``from_snapshot``
+    up to and including ``to_snapshot`` (default: current). The decision
+    is metadata-only — the parent chain is walked in the manifest and only
+    the ``added`` unit lists of append snapshots are ever handed to Spark,
+    so per-batch downstream cost is bounded by the new data, not the table
+    size (the same contract the streaming ingest relies on).
+
+    Follows Iceberg's rules: ``compact``/``cluster`` snapshots in the
+    range are skipped (file rewrites, no logical change — their rows were
+    already reported when first appended); ``overwrite``/``delete``/
+    ``merge`` snapshots raise ValueError, because append-only semantics
+    cannot represent row removal — callers must fall back to a full scan
+    at ``to_snapshot``. ``from_snapshot`` must be an ancestor of
+    ``to_snapshot``."""
+    m = _load(root)
+    to = to_snapshot if to_snapshot is not None else m["current_snapshot"]
+    if to is None:
+        raise ValueError(f"IcebergLite table {root} has no snapshot")
+    by_id = {s["id"]: s for s in m["snapshots"]}
+    added: list[str] = []
+    cur = to
+    while cur != from_snapshot:
+        if cur is None or cur not in by_id:
+            raise ValueError(
+                f"snapshot {from_snapshot} is not an ancestor of {to}")
+        s = by_id[cur]
+        op = s.get("operation", "append")
+        if op == "append":
+            added.extend(s.get("added", []))
+        elif op in ("compact", "cluster"):
+            pass  # pure file rewrite — no logical row change
+        else:
+            raise ValueError(
+                f"incremental read across a '{op}' snapshot (id={cur}) is "
+                f"not append-only; full-scan at snapshot {to} instead")
+        cur = s.get("parent")
+    # a later compact/cluster in the range may have dropped the original
+    # files from the CURRENT unit list, but the files themselves are kept
+    # on disk until expire_snapshots — reading them is still correct and
+    # keeps this path independent of maintenance timing
+    return _assemble_units(spark, root, m, added, to,
+                           empty_ctx=f"incremental {from_snapshot}->{to}")
 
 
 def drop_partitions(root: str, where: dict[str, object]) -> int:
@@ -483,6 +677,16 @@ def _stats_cols_of(manifest: dict) -> list[str]:
     return sorted(cols)
 
 
+def _bloom_cols_of(manifest: dict) -> list[str]:
+    """Same carry-forward contract as :func:`_stats_cols_of`, for the
+    per-unit bloom filters: a rewrite re-derives blooms for its new units
+    so where_point skipping survives maintenance."""
+    cols: set[str] = set()
+    for bl in manifest.get("unit_blooms", {}).values():
+        cols.update(bl)
+    return sorted(cols)
+
+
 def compact(spark: SparkSession, root: str) -> int:
     """Maintenance: rewrite the CURRENT snapshot into one file per
     partition and commit it as a new snapshot whose unit list is ONLY the
@@ -514,6 +718,8 @@ def compact(spark: SparkSession, root: str) -> int:
     new_units = _write_snapshot(df, root, _new_token(), partition_by)
     stats = (_collect_unit_stats(root, new_units, _stats_cols_of(m))
              if _stats_cols_of(m) else {})
+    blooms = (_collect_unit_blooms(root, new_units, _bloom_cols_of(m))
+              if _bloom_cols_of(m) else {})
     with _meta_lock(root):
         m = _load(root)
         if m["current_snapshot"] != base:
@@ -523,6 +729,8 @@ def compact(spark: SparkSession, root: str) -> int:
         snap_id = _next_id(m)
         if stats:
             m.setdefault("unit_stats", {}).update(stats)
+        if blooms:
+            m.setdefault("unit_blooms", {}).update(blooms)
         m["snapshots"].append({
             "id": snap_id, "parent": base, "operation": "compact",
             "units": new_units, "added": new_units, "tag": None,
@@ -631,6 +839,8 @@ def cluster_by(spark: SparkSession, root: str, sort_cols: list[str],
     new_units = _write_snapshot(rdf, root, _new_token(),
                                 ["_cluster_bucket"])
     stats = _collect_unit_stats(root, new_units, want_stats)
+    blooms = (_collect_unit_blooms(root, new_units, _bloom_cols_of(m))
+              if _bloom_cols_of(m) else {})
     with _meta_lock(root):
         m = _load(root)
         if m["current_snapshot"] != base:
@@ -640,6 +850,8 @@ def cluster_by(spark: SparkSession, root: str, sort_cols: list[str],
         snap_id = _next_id(m)
         if stats:
             m.setdefault("unit_stats", {}).update(stats)
+        if blooms:
+            m.setdefault("unit_blooms", {}).update(blooms)
         m["snapshots"].append({
             "id": snap_id, "parent": base, "operation": "cluster",
             "units": new_units, "added": new_units, "tag": None,
@@ -737,6 +949,8 @@ def merge_upsert(spark: SparkSession, updates: DataFrame, root: str,
     want_stats = stats_cols if stats_cols is not None else _stats_cols_of(m)
     stats = (_collect_unit_stats(root, new_units, want_stats)
              if want_stats else {})
+    blooms = (_collect_unit_blooms(root, new_units, _bloom_cols_of(m))
+              if _bloom_cols_of(m) else {})
     with _meta_lock(root):
         m = _load(root)
         if m["current_snapshot"] != base:
@@ -746,6 +960,8 @@ def merge_upsert(spark: SparkSession, updates: DataFrame, root: str,
         snap_id = _next_id(m)
         if stats:
             m.setdefault("unit_stats", {}).update(stats)
+        if blooms:
+            m.setdefault("unit_blooms", {}).update(blooms)
         m["snapshots"].append({
             "id": snap_id, "parent": base, "operation": "merge",
             "units": kept_units + new_units, "added": new_units, "tag": None,
@@ -792,10 +1008,16 @@ def expire_snapshots(root: str, keep_last: int = 1,
             # unit_stats for units no retained snapshot references would
             # otherwise accumulate forever (every rewrite op adds keys,
             # nothing removed them — ADVICE r04): prune to the kept units
-            if "unit_stats" in m:
+            if "unit_stats" in m or "unit_blooms" in m:
                 kept_units = {u for s in kept for u in s["units"]}
-                m["unit_stats"] = {u: st for u, st in m["unit_stats"].items()
-                                   if u in kept_units}
+                if "unit_stats" in m:
+                    m["unit_stats"] = {
+                        u: st for u, st in m["unit_stats"].items()
+                        if u in kept_units}
+                if "unit_blooms" in m:
+                    m["unit_blooms"] = {
+                        u: bl for u, bl in m["unit_blooms"].items()
+                        if u in kept_units}
             _commit(root, m)
     # The orphan sweep runs even when the manifest is already minimal:
     # a prior expire inside the grace window truncates metadata but must
@@ -822,3 +1044,63 @@ def expire_snapshots(root: str, keep_last: int = 1,
 
 def exists(root: str) -> bool:
     return current_snapshot(root) is not None
+
+
+def metadata_table(spark: SparkSession, root: str, kind: str) -> DataFrame:
+    """Iceberg metadata tables (``SELECT * FROM tbl.snapshots`` etc.) as
+    DataFrames — the operational-introspection surface a table format
+    owes its operators. All three are built from the manifest (plus
+    parquet footers for row counts), never by scanning data:
+
+    - ``snapshots``: id, parent, operation, ts, tag, n_units, n_added
+    - ``files``: current snapshot's data files — unit, partition (JSON
+      string, scalar-celled for the driver canon), file name,
+      size_bytes, row_count
+    - ``partitions``: current snapshot's partition values (JSON string)
+      with unit/file/row counts
+
+    Driver-side construction is fine at any scale: manifests are
+    metadata (thousands of entries), not data.
+    """
+    m = _load(root)
+    if kind == "snapshots":
+        rows = [(s["id"], s.get("parent"), s.get("operation", "append"),
+                 s.get("ts"), s.get("tag"),
+                 len(s.get("units", [])), len(s.get("added", [])))
+                for s in m["snapshots"]]
+        return spark.createDataFrame(
+            rows, "id int, parent int, operation string, ts string,"
+                  " tag string, n_units int, n_added int")
+    if kind in ("files", "partitions"):
+        import pyarrow.parquet as pq
+
+        file_rows = []
+        for u in _units_at(m, m["current_snapshot"]):
+            pv = json.dumps(_partition_values(u), sort_keys=True)
+            d = os.path.join(root, u)
+            for fname in sorted(os.listdir(d)):
+                if not fname.endswith(".parquet"):
+                    continue
+                p = os.path.join(d, fname)
+                file_rows.append(
+                    (u, pv, fname, os.stat(p).st_size,
+                     pq.ParquetFile(p).metadata.num_rows))
+        if kind == "files":
+            return spark.createDataFrame(
+                file_rows, "unit string, partition string, file string,"
+                           " size_bytes long, row_count long")
+        agg: dict[str, list] = {}
+        units_of: dict[str, set] = {}
+        for u, pv, _f, sz, n in file_rows:
+            cur = agg.setdefault(pv, [0, 0, 0])
+            cur[0] += 1
+            cur[1] += sz
+            cur[2] += n
+            units_of.setdefault(pv, set()).add(u)
+        return spark.createDataFrame(
+            [(pv, len(units_of[pv]), c[0], c[1], c[2])
+             for pv, c in sorted(agg.items())],
+            "partition string, n_units int, n_files int,"
+            " size_bytes long, row_count long")
+    raise ValueError(f"unknown metadata table {kind!r} "
+                     "(one of: snapshots, files, partitions)")

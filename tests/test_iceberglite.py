@@ -563,3 +563,110 @@ def test_merge_upsert_escaped_and_null_partition_values(spark, tbl):
     assert [(r.k, r.v) for r in il.read(spark, tbl,
                                         where={"k": "a:b"}).collect()] \
         == [("a:b", 10)]
+
+
+def test_read_incremental_returns_only_added_rows(spark, tbl):
+    """Incremental append scan (CDC-append, r06): rows added strictly
+    after from_snapshot, decided metadata-only from per-snapshot `added`
+    unit lists — and the scan must not even LIST the first batch's files."""
+    s1 = il.append(_df(spark, [("a", 1), ("b", 2)]), tbl, ["k"])
+    s2 = il.append(_df(spark, [("c", 3)]), tbl, ["k"])
+    il.append(_df(spark, [("d", 4), ("a", 5)]), tbl, ["k"])
+    inc = il.read_incremental(spark, tbl, from_snapshot=s1)
+    assert {(r.k, r.v) for r in inc.collect()} == {("c", 3), ("d", 4),
+                                                  ("a", 5)}
+    batch1_units = il.snapshots(tbl)[0]["added"]
+    assert batch1_units
+    assert all(u not in f for u in batch1_units for f in inc.inputFiles())
+    # bounded range: (s1, s2]
+    mid = il.read_incremental(spark, tbl, from_snapshot=s1, to_snapshot=s2)
+    assert {(r.k, r.v) for r in mid.collect()} == {("c", 3)}
+    # empty range keeps the committed schema
+    empty = il.read_incremental(spark, tbl,
+                                from_snapshot=il.current_snapshot(tbl))
+    assert empty.count() == 0 and empty.columns == ["k", "v"]
+
+
+def test_read_incremental_skips_compact_rejects_delete(spark, tbl):
+    """Iceberg's rules: compact/cluster snapshots in the range are pure
+    file rewrites (rows already reported at first append) — skipped, and
+    the originals stay readable until expire_snapshots; a delete snapshot
+    makes append-only semantics a lie — hard error, full-scan fallback is
+    the caller's move."""
+    s1 = il.append(_df(spark, [("a", 1)]), tbl, ["k"])
+    il.append(_df(spark, [("b", 2)]), tbl, ["k"])
+    il.compact(spark, tbl)
+    inc = il.read_incremental(spark, tbl, from_snapshot=s1)
+    assert {(r.k, r.v) for r in inc.collect()} == {("b", 2)}
+    il.drop_partitions(tbl, {"k": "a"})
+    with pytest.raises(ValueError, match="delete"):
+        il.read_incremental(spark, tbl, from_snapshot=s1)
+    # non-ancestor snapshot id is loud, not empty
+    with pytest.raises(ValueError, match="ancestor"):
+        il.read_incremental(spark, tbl, from_snapshot=9999,
+                            to_snapshot=s1)
+
+
+def test_bloom_point_lookup_skips_files_losslessly(spark, tbl):
+    """Per-unit bloom filters (r06): four appends striped by id % 4 with
+    bloom_cols — a point lookup must (a) return exactly the matching
+    rows, (b) list strictly fewer units than a full scan (min/max bounds
+    can't prune uniform stripes), and (c) never lose a row (bloom false
+    positives only admit units)."""
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    for stripe in range(4):
+        il.append(df.filter(F.col("k") % 4 == stripe), tbl, [],
+                  bloom_cols=["k"])
+    got = il.read(spark, tbl, where_point={"k": [7, 123]})
+    rows = {(r.k, r.v) for r in got.filter(F.col("k").isin([7, 123])).collect()}
+    assert rows == {(7, 14), (123, 246)}
+    n_full = len(il.read(spark, tbl).inputFiles())
+    n_pruned = len(got.inputFiles())
+    # 7 % 4 == 123 % 4 == 3: one stripe definitely survives; the other
+    # three are bloom-skippable (each may rarely survive as a ~1% fp)
+    assert n_pruned < n_full
+    # absent key: every unit's bloom excludes it — typically zero units
+    # survive, and the empty-with-schema contract holds
+    miss = il.read(spark, tbl, where_point={"k": 10_000})
+    assert miss.filter(F.col("k") == 10_000).count() == 0
+    assert miss.columns == ["k", "v"]
+
+
+def test_bloom_over_cap_unit_records_nothing_and_survives(spark, tbl):
+    """A unit past _BLOOM_MAX_VALUES records no bloom (manifest growth is
+    bounded) and must always survive point lookups — skipping is a pure
+    optimization, never a filter."""
+    import joint_entity_and_relation_extraction_spark.sources.iceberglite as ilmod
+
+    orig = ilmod._BLOOM_MAX_VALUES
+    ilmod._BLOOM_MAX_VALUES = 10
+    try:
+        il.append(spark.range(0, 50).select(F.col("id").alias("k")), tbl,
+                  [], bloom_cols=["k"])
+    finally:
+        ilmod._BLOOM_MAX_VALUES = orig
+    assert il._load(tbl).get("unit_blooms", {}) == {}
+    assert il.read(spark, tbl, where_point={"k": 42}).filter(
+        F.col("k") == 42).count() == 1
+
+
+def test_metadata_tables(spark, tbl):
+    """Iceberg metadata tables (tbl.snapshots / files / partitions) built
+    manifest-only: snapshot history with op kinds, current files with
+    per-file row counts, partition rollup."""
+    il.append(_df(spark, [("a", 1), ("b", 2)]), tbl, ["k"])
+    il.append(_df(spark, [("a", 3)]), tbl, ["k"])
+    il.compact(spark, tbl)
+    snaps = il.metadata_table(spark, tbl, "snapshots").collect()
+    assert [s.operation for s in snaps] == ["append", "append", "compact"]
+    assert snaps[-1].n_units <= snaps[-1].n_added + 2
+    files = il.metadata_table(spark, tbl, "files").collect()
+    assert sum(f.row_count for f in files) == 3
+    assert all(f.file.endswith(".parquet") and f.size_bytes > 0
+               for f in files)
+    parts = il.metadata_table(spark, tbl, "partitions").collect()
+    got = {p.partition: p.row_count for p in parts}
+    assert got == {'{"k": "a"}': 2, '{"k": "b"}': 1}
+    with pytest.raises(ValueError, match="unknown metadata table"):
+        il.metadata_table(spark, tbl, "nope")

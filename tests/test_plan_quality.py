@@ -238,3 +238,29 @@ def test_lsh_graph_degrees_plan_is_banded_equi_join(spark):
     # the minhash signature stage must not appear in THIS plan
     assert "Scan ExistingRDD" in p
     assert p.count("ArrowEvalPython") == 0
+
+
+def test_substring_dedup_plan_is_partial_agg_semi_join(spark):
+    """Substring-span dedup (r06) must plan as: map-side partial
+    count-distinct on the uniform md5 gram key (the combinable corpus-DF
+    aggregate), then a left-SEMI join back — never a nested loop or
+    cartesian. The semi-join strategy is deliberately left to cost-based
+    selection (no broadcast hint in the operator): at fixture scale the
+    dup-key set is tiny and Catalyst broadcasts it; past
+    autoBroadcastJoinThreshold on a crawl corpus the same plan degrades
+    to a shuffle semi-join on the uniform md5 key. This is the shape
+    that makes fixed-n-gram substring dedup the scalable stand-in for a
+    suffix array at 100 TB."""
+    import inspect
+
+    from joint_entity_and_relation_extraction_spark.operators import dedup as DD
+
+    p = plan_str(DD.substring_dup_spans(spark, SF001))
+    assert "NestedLoop" not in p and "Cartesian" not in p
+    assert "LeftSemi" in p
+    # countDistinct plans as two-phase partial_count over (g, doc_id)
+    assert "partial_count" in p
+    # and the broadcast really is Catalyst's choice, not hard-coded
+    src = inspect.getsource(DD.substring_dup_spans) + \
+        inspect.getsource(DD._gram_positions)
+    assert "F.broadcast(" not in src and ".hint(" not in src
