@@ -135,6 +135,9 @@ BENCH_QUERIES = [
     # shape a 100 TB user runs (VERDICT r05 item 2); the ngram-based
     # graph_degrees entry stays for series comparability
     "graph_degrees_lsh",
+    # r06 addition: substring-span dedup (R07_PENDING pool — resolved
+    # from the staged dict until the r07 rotation registers it)
+    "dedup_substring_spans",
 ]
 
 
@@ -399,7 +402,8 @@ def child_query_suite() -> None:
     passes = int(os.environ.get("JERS_BENCH_QUERY_PASSES", "3"))
     spark = build_session(master=f"local[{CPUS}]", app_name="jers-bench-queries")
     _warmup(spark)
-    qs = registry.all_queries()
+    qs = dict(registry.all_queries())
+    qs.update(registry.R07_PENDING_QUERIES)  # staged r06 pool benchable too
     real_read_docs = DD.read_docs
 
     def lsh_r04shape():

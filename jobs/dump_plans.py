@@ -37,6 +37,7 @@ SHOW = [
     # r06
     "graph_degrees_lsh",      # banded-LSH edge base: equi-join, no NL
     "kg_triple_metrics",      # strict-key full-outer vs goldens, one agg
+    "dedup_substring_spans",  # gram-DF partial agg + semi-join (R07_PENDING)
 ]
 
 
@@ -48,7 +49,8 @@ def formatted_plan(df) -> str:
 def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = build_session(master="local[4]", app_name="jers-plans")
-    qs = registry.all_queries()
+    qs = dict(registry.all_queries())
+    qs.update(registry.R07_PENDING_QUERIES)
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/PLANS.md", "w") as f:
         f.write(f"# Physical plans ({sf}, {time.strftime('%Y-%m-%d')})\n\n"

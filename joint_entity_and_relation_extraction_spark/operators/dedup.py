@@ -849,3 +849,80 @@ SELECT covered.doc_id, per_doc.n_words, covered.dup_positions,
              / per_doc.n_words, 6) AS kept_frac
 FROM covered JOIN per_doc USING (doc_id)
 """
+
+
+def substring_scrub_text(spark: SparkSession, sf_dir: str,
+                         n: int = SUBSTR_N, min_docs: int = 2) -> DataFrame:
+    """The scrubbed corpus itself (Lee et al. 2021 removal, not just the
+    accounting): every word position covered by any duplicated n-gram
+    span is deleted and the survivors are re-joined in order. Documents
+    the spans fully cover are dropped from the output — the emitted
+    corpus is exactly what a training run downstream would consume.
+
+    Shape: covered positions come from exploding [pos, pos+n) per
+    flagged start (O(dup positions × n) rows, distinct-ed), the deletion
+    is a left-anti join on (doc_id, pos), and reconstruction is
+    array_sort(collect_list(struct(pos, word))) per doc — bounded by doc
+    length, no window over the corpus. words and grams each feed two
+    consumers → both localCheckpointed (CLAUDE.md shared-subtree
+    invariant)."""
+    d = read_docs(spark, sf_dir)
+    words = (
+        d.select("doc_id", F.posexplode(F.split("text", " "))
+                 .alias("pos0", "word"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+        .localCheckpoint(eager=False)
+    )
+    grams = _gram_positions(spark, sf_dir, n).localCheckpoint(eager=False)
+    dup_keys = (grams.groupBy("g")
+                .agg(F.countDistinct("doc_id").alias("df"))
+                .filter(F.col("df") >= min_docs).select("g"))
+    covered = (
+        grams.join(dup_keys, "g", "left_semi")
+        .select("doc_id",
+                F.explode(F.sequence(F.col("pos"),
+                                     F.col("pos") + F.lit(n - 1)))
+                .alias("pos"))
+        .distinct()
+    )
+    kept = words.join(covered, ["doc_id", "pos"], "left_anti")
+    n_words = words.groupBy("doc_id").agg(F.count("*").alias("n_words"))
+    return (
+        kept.groupBy("doc_id")
+        .agg(F.count("*").alias("n_kept"),
+             F.expr("concat_ws(' ', transform(array_sort("
+                    "collect_list(struct(pos, word))), s -> s.word))")
+             .alias("text_scrubbed"))
+        .join(n_words, "doc_id")
+        .select("doc_id", "n_words", "n_kept", "text_scrubbed")
+    )
+
+
+def sql_substring_scrub_text(n: int = SUBSTR_N, min_docs: int = 2) -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+p AS (
+  SELECT doc_id, i AS pos, w[i] AS word
+  FROM toks, UNNEST(GENERATE_SERIES(1, LEN(w))) AS t(i)
+),
+gr AS (
+  SELECT doc_id, i AS pos,
+         MD5(ARRAY_TO_STRING(w[i:i+{n - 1}], ' ')) AS g
+  FROM toks, UNNEST(GENERATE_SERIES(1, LEN(w) - {n - 1})) AS t(i)
+  WHERE LEN(w) >= {n}
+),
+dup AS (SELECT g FROM gr GROUP BY g HAVING COUNT(DISTINCT doc_id) >= {min_docs}),
+d AS (SELECT doc_id, pos FROM gr WHERE g IN (SELECT g FROM dup)),
+c AS (SELECT DISTINCT doc_id, pos + j AS pos
+      FROM d, UNNEST(GENERATE_SERIES(0, {n - 1})) AS t(j)),
+kept AS (
+  SELECT p.doc_id, p.pos, p.word FROM p
+  ANTI JOIN c ON p.doc_id = c.doc_id AND p.pos = c.pos
+)
+SELECT kept.doc_id, t2.n_words, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       STRING_AGG(word, ' ' ORDER BY pos) AS text_scrubbed
+FROM kept JOIN (SELECT doc_id, CAST(LEN(w) AS BIGINT) AS n_words
+                FROM toks) t2
+  ON kept.doc_id = t2.doc_id
+GROUP BY kept.doc_id, t2.n_words
+"""

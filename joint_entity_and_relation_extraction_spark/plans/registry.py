@@ -383,6 +383,9 @@ R07_PENDING_QUERIES = {
     # (Lee et al. 2021); see operators/dedup.py "substring-level" section
     "dedup_substring_spans": DD.substring_dup_spans,
     "dedup_substring_scrub": DD.substring_scrub_stats,
+    # the scrubbed corpus itself (fully-covered docs dropped) — what a
+    # downstream training run consumes
+    "dedup_substring_scrub_text": DD.substring_scrub_text,
     # Iceberg incremental append scan (CDC-append): manifest-only
     # decision, per-batch cost bounded by new data
     "iceberg_incremental_scan": QQ.q_iceberg_incremental_scan,
@@ -394,6 +397,7 @@ R07_PENDING_QUERIES = {
 R07_PENDING_ORACLE = {
     "dedup_substring_spans": DD.sql_substring_dup_spans(),
     "dedup_substring_scrub": DD.sql_substring_scrub_stats(),
+    "dedup_substring_scrub_text": DD.sql_substring_scrub_text(),
     "iceberg_incremental_scan": QQ.SQL_ICEBERG_INCREMENTAL_SCAN,
     "iceberg_bloom_lookup": QQ.SQL_ICEBERG_BLOOM_LOOKUP,
 }

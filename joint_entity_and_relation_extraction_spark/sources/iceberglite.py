@@ -1104,3 +1104,29 @@ def metadata_table(spark: SparkSession, root: str, kind: str) -> DataFrame:
             " size_bytes long, row_count long")
     raise ValueError(f"unknown metadata table {kind!r} "
                      "(one of: snapshots, files, partitions)")
+
+
+def rollback_to(root: str, snapshot: int) -> int:
+    """Iceberg ``rollback_to_snapshot``: commit a NEW snapshot whose
+    content is the table state at ``snapshot`` — history is preserved
+    (the abandoned snapshots remain time-travelable until
+    expire_snapshots), and concurrent writers are serialized by the
+    metadata lock like any other commit. read_incremental refuses to
+    cross a rollback (rows were logically removed — append-only
+    semantics cannot represent it)."""
+    with _meta_lock(root):
+        m = _load(root)
+        ids = {s["id"] for s in m["snapshots"]}
+        if snapshot not in ids:
+            raise ValueError(f"unknown snapshot {snapshot} (have {sorted(ids)})")
+        parent = m["current_snapshot"]
+        snap_id = _next_id(m)
+        m["snapshots"].append({
+            "id": snap_id, "parent": parent, "operation": "rollback",
+            "units": _units_at(m, snapshot), "added": [], "tag": None,
+            "schema": _schema_at(m, snapshot),
+            "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        })
+        m["current_snapshot"] = snap_id
+        _commit(root, m)
+    return snap_id

@@ -670,3 +670,25 @@ def test_metadata_tables(spark, tbl):
     assert got == {'{"k": "a"}': 2, '{"k": "b"}': 1}
     with pytest.raises(ValueError, match="unknown metadata table"):
         il.metadata_table(spark, tbl, "nope")
+
+
+def test_rollback_to_restores_state_and_keeps_history(spark, tbl):
+    """rollback_to (r06): a NEW snapshot with the old content — current
+    reads see the restored state, the abandoned snapshot stays
+    time-travelable, and read_incremental refuses to cross the rollback
+    (rows were logically removed)."""
+    s1 = il.append(_df(spark, [("a", 1)]), tbl, ["k"])
+    s2 = il.append(_df(spark, [("b", 2)]), tbl, ["k"])
+    s3 = il.rollback_to(tbl, s1)
+    assert il.current_snapshot(tbl) == s3 and s3 != s1
+    assert {(r.k, r.v) for r in il.read(spark, tbl).collect()} == {("a", 1)}
+    # abandoned snapshot still readable (history preserved)
+    assert il.read(spark, tbl, snapshot=s2).count() == 2
+    with pytest.raises(ValueError, match="rollback"):
+        il.read_incremental(spark, tbl, from_snapshot=s1)
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        il.rollback_to(tbl, 9999)
+    # appends continue normally on top of the rollback
+    il.append(_df(spark, [("c", 3)]), tbl, ["k"])
+    assert {r.k for r in il.read(spark, tbl).select("k").collect()} \
+        == {"a", "c"}

@@ -73,3 +73,44 @@ def test_substring_scrub_bounds(spark):
         assert n <= r.words_removed <= r.n_words
         assert r.words_removed <= r.dup_positions * n
         assert 0.0 <= r.kept_frac < 1.0
+
+
+# --- pure-python property gate for the scrub coverage formula ---------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=200), min_size=1,
+                max_size=40, unique=True),
+       st.integers(min_value=2, max_value=12))
+def test_lag_coverage_formula_equals_interval_union(positions, n):
+    """substring_scrub_stats computes |union of [p, p+n) intervals| as
+    n + sum(min(gap, n)) over sorted positions — one LAG window, no
+    island materialization. Pin it against the brute-force interval
+    union for arbitrary position sets and span widths."""
+    ps = sorted(positions)
+    formula = n + sum(min(b - a, n) for a, b in zip(ps, ps[1:]))
+    brute = len({x for p in ps for x in range(p, p + n)})
+    assert formula == brute
+
+
+def test_scrub_stats_consistent_with_scrub_text(spark):
+    """Cross-operator consistency: the accounting op's words_removed and
+    the emission op's n_kept must describe the same removal — and a doc
+    the spans fully cover is absent from the emitted corpus."""
+    from joint_entity_and_relation_extraction_spark.operators import dedup as DD
+
+    stats = {r.doc_id: r for r in
+             DD.substring_scrub_stats(spark, SF001).collect()}
+    text = {r.doc_id: r for r in
+            DD.substring_scrub_text(spark, SF001).collect()}
+    assert stats  # fixture has duplicated docs
+    for doc_id, r in stats.items():
+        if r.words_removed == r.n_words:
+            assert doc_id not in text
+        else:
+            t = text[doc_id]
+            assert t.n_kept == r.n_words - r.words_removed
+            assert len(t.text_scrubbed.split(" ")) == t.n_kept
