@@ -529,3 +529,40 @@ SELECT doc_id, lang, ROUND({u}, 6) AS u,
             ELSE 'test' END AS split
 FROM documents
 """
+
+
+def k_anonymity_filter(spark: SparkSession, sf_dir: str,
+                       quasi: tuple = ("lang", "source"),
+                       k: int = 5) -> DataFrame:
+    """Privacy-grade curation (r06, staged R07_PENDING): suppress every
+    document whose quasi-identifier combination is shared by fewer than
+    k documents — the standard k-anonymity release rule, the structured
+    complement of the regex PII scrub (textstats.pii_scrub removes
+    identifiers IN the text; this removes rows whose METADATA is
+    identifying). Survivors carry their group size so downstream
+    sampling can reweight.
+
+    Scale shape: one map-side-combinable groupBy on the quasi columns,
+    then a join back keyed the same way — the group-count table is
+    |distinct combinations|, usually broadcastable, but that is left to
+    cost-based selection (no hint), exactly like the substring dedup
+    semi-join."""
+    d = read_table(spark, sf_dir, "documents")
+    counts = (d.groupBy(*quasi)
+              .agg(F.count("*").alias("grp_n"))
+              .filter(F.col("grp_n") >= k))
+    return (d.join(counts, list(quasi))
+            .select("doc_id", *quasi, "grp_n"))
+
+
+def sql_k_anonymity_filter(quasi: tuple = ("lang", "source"),
+                           k: int = 5) -> str:
+    q = ", ".join(quasi)
+    return f"""
+WITH grp AS (
+  SELECT {q}, CAST(COUNT(*) AS BIGINT) AS grp_n
+  FROM documents GROUP BY {q} HAVING COUNT(*) >= {k}
+)
+SELECT d.doc_id, {', '.join('d.' + c for c in quasi)}, grp.grp_n
+FROM documents d JOIN grp USING ({q})
+"""

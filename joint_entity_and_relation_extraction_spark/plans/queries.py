@@ -1176,6 +1176,53 @@ FROM documents WHERE doc_id IN {_BLOOM_LOOKUP_IDS}
 """
 
 
+def q_window_scd2(spark, sf):
+    """SCD2 (type-2 slowly-changing-dimension) interval construction as
+    a query (r06, staged R07_PENDING): each user's event_type stream is
+    collapsed to its CHANGE points (value != previous), and every change
+    becomes a validity interval [effective_from, effective_to) closed by
+    the next change, open (is_current) on the last. Two windows over ONE
+    (user_id | ts, event_id) partitioning — Catalyst plans a single
+    exchange+sort; per-user partitions bound the window state at corpus
+    scale. The table-maintenance form (close-out + append on IcebergLite)
+    is scd2_upsert in sources/iceberglite.py."""
+    from pyspark.sql import Window
+
+    e = read_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select("user_id", "event_type", "ts", "event_id",
+                 F.lag("event_type").over(w).alias("prev_type"))
+        .filter(F.col("prev_type").isNull()
+                | (F.col("event_type") != F.col("prev_type")))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        changes.select(
+            "user_id", "event_type",
+            F.col("ts").alias("effective_from"),
+            F.lead("ts").over(w2).alias("effective_to"))
+        .withColumn("is_current", F.col("effective_to").isNull())
+    )
+
+
+SQL_WINDOW_SCD2 = """
+WITH chg AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT user_id, event_type, ts AS effective_from,
+       LEAD(ts) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS effective_to,
+       LEAD(ts) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) IS NULL AS is_current
+FROM chg
+WHERE prev_type IS NULL OR event_type <> prev_type
+"""
+
+
 def q_udtf_word_pos(spark, sf):
     """Python UDTF (SURVEY.md §2.5 row closed — Spark 4 F.udtf): a
     table function emitting (pos, word) for a document's first 5 words,

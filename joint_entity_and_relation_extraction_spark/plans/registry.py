@@ -392,6 +392,12 @@ R07_PENDING_QUERIES = {
     # per-unit bloom filters: point-lookup file skipping where min/max
     # bounds cannot prune (uniformly striped ids)
     "iceberg_bloom_lookup": QQ.q_iceberg_bloom_lookup,
+    # privacy-grade curation: suppress rows whose quasi-identifier
+    # combination is shared by < k documents
+    "curation_k_anonymity": CU.k_anonymity_filter,
+    # SCD2 validity intervals from a change stream (table-maintenance
+    # form: iceberglite.scd2_upsert)
+    "window_scd2": QQ.q_window_scd2,
 }
 
 R07_PENDING_ORACLE = {
@@ -400,6 +406,8 @@ R07_PENDING_ORACLE = {
     "dedup_substring_scrub_text": DD.sql_substring_scrub_text(),
     "iceberg_incremental_scan": QQ.SQL_ICEBERG_INCREMENTAL_SCAN,
     "iceberg_bloom_lookup": QQ.SQL_ICEBERG_BLOOM_LOOKUP,
+    "curation_k_anonymity": CU.sql_k_anonymity_filter(),
+    "window_scd2": QQ.SQL_WINDOW_SCD2,
 }
 
 

@@ -1130,3 +1130,71 @@ def rollback_to(root: str, snapshot: int) -> int:
         m["current_snapshot"] = snap_id
         _commit(root, m)
     return snap_id
+
+
+def scd2_upsert(spark: SparkSession, updates: DataFrame, root: str,
+                key_cols: list[str], ts_col: str,
+                partition_by: list[str] | None = None) -> int:
+    """Type-2 slowly-changing-dimension maintenance: the table's rows are
+    validity intervals — key columns + attribute columns +
+    ``effective_from`` / ``effective_to`` (NULL = current). ``updates``
+    carries new attribute versions stamped with ``ts_col``; each update
+    row IS a new version (callers collapse no-op states first — the
+    query-side form, plans.queries.q_window_scd2, shows the collapse).
+
+    Per batch: within a key, updates ordered by ``ts_col`` chain into
+    intervals (each closed by the next); the key's existing CURRENT row
+    is closed at the batch's first timestamp. Keys the batch does not
+    touch pass through byte-identical.
+
+    Commits a single ``scd2`` snapshot with compact-style conflict
+    detection (validate-at-commit against the read base). This first cut
+    rewrites the table; at deployment scale the rewrite is scoped to the
+    touched partitions exactly like merge_upsert — same mechanics, kept
+    simple here because the witness tables are dimension-sized."""
+    from pyspark.sql import Window
+
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    new_vers = (updates
+                .withColumn("effective_from", F.col(ts_col))
+                .withColumn("effective_to", F.lead(ts_col).over(w))
+                .drop(ts_col))
+    if not exists(root):
+        return append(new_vers, root, partition_by or [])
+    m = _load(root)
+    base = m["current_snapshot"]
+    cur = read(spark, root)
+    first_ts = (updates.groupBy(*key_cols)
+                .agg(F.min(ts_col).alias("_batch_from")))
+    joined = cur.join(F.broadcast(first_ts), key_cols, "left")
+    closed_or_kept = (
+        joined.withColumn(
+            "effective_to",
+            F.when(F.col("effective_to").isNull()
+                   & F.col("_batch_from").isNotNull(),
+                   F.col("_batch_from"))
+            .otherwise(F.col("effective_to")))
+        .drop("_batch_from"))
+    out = closed_or_kept.unionByName(new_vers)
+    part = partition_by or m["partition_by"]
+    if part:
+        out = out.repartition(*[F.col(c) for c in part])
+    new_units = _write_snapshot(out, root, _new_token(), part)
+    with _meta_lock(root):
+        m = _load(root)
+        if m["current_snapshot"] != base:
+            raise CommitConflict(
+                f"table advanced {base} -> {m['current_snapshot']} during "
+                f"scd2_upsert; retry")
+        snap_id = _next_id(m)
+        m["snapshots"].append({
+            "id": snap_id, "parent": base, "operation": "scd2",
+            "units": new_units, "added": new_units, "tag": None,
+            "schema": out.schema.json(),
+            "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        })
+        m["current_snapshot"] = snap_id
+        _commit(root, m)
+    return snap_id

@@ -692,3 +692,37 @@ def test_rollback_to_restores_state_and_keeps_history(spark, tbl):
     il.append(_df(spark, [("c", 3)]), tbl, ["k"])
     assert {r.k for r in il.read(spark, tbl).select("k").collect()} \
         == {"a", "c"}
+
+
+def test_scd2_upsert_matches_model(spark, tbl):
+    """SCD2 maintenance (r06): two update batches against a pure-python
+    interval model — per key the version chain is contiguous (each
+    effective_to equals the next effective_from), exactly one current
+    row per key, untouched keys pass through, and history stays
+    time-travelable."""
+    def upd(rows):
+        return spark.createDataFrame(rows, "k string, attr string, ts int")
+
+    s1 = il.scd2_upsert(spark, upd([("a", "x", 10), ("a", "y", 20),
+                                    ("b", "p", 15)]),
+                        tbl, ["k"], "ts")
+    il.scd2_upsert(spark, upd([("a", "z", 30), ("c", "q", 5)]),
+                   tbl, ["k"], "ts")
+
+    rows = il.read(spark, tbl).collect()
+    model = {
+        ("a", "x", 10, 20), ("a", "y", 20, 30), ("a", "z", 30, None),
+        ("b", "p", 15, None), ("c", "q", 5, None),
+    }
+    got = {(r.k, r.attr, r.effective_from, r.effective_to) for r in rows}
+    assert got == model
+    current = [r for r in rows if r.effective_to is None]
+    assert sorted(r.k for r in current) == ["a", "b", "c"]
+    # history: the pre-batch-2 snapshot still shows a/y current
+    old = {(r.k, r.attr, r.effective_to)
+           for r in il.read(spark, tbl, snapshot=s1).collect()}
+    assert ("a", "y", None) in old and not any(
+        k == "c" for k, _, _ in old)
+    # an scd2 snapshot modifies rows — incremental append scan refuses
+    with pytest.raises(ValueError, match="scd2"):
+        il.read_incremental(spark, tbl, from_snapshot=s1)
