@@ -566,3 +566,46 @@ WITH grp AS (
 SELECT d.doc_id, {', '.join('d.' + c for c in quasi)}, grp.grp_n
 FROM documents d JOIN grp USING ({q})
 """
+
+
+def sample_exact_k(spark: SparkSession, sf_dir: str,
+                   strata: tuple = ("lang",), k: int = 10,
+                   salt: str = "17") -> DataFrame:
+    """Deterministic exact-k-per-stratum sampling (r06, staged
+    R07_PENDING): rank documents inside each stratum by the md5 of their
+    id + salt and keep the first k — a reproducible "random" draw with an
+    EXACT size guarantee per stratum, which fraction-based
+    sample_stratified cannot give (its per-stratum counts are binomial).
+    Changing the salt redraws the sample; the same salt replays it
+    bit-identically on any engine, so the oracle is the literal same
+    ranking in SQL.
+
+    Scale shape: one rank window per stratum — the standard top-k-per-
+    group plan (single exchange on the strata columns); k rows per
+    stratum leave the shuffle."""
+    from pyspark.sql import Window
+
+    d = read_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat_ws("-", F.col("doc_id").cast("string"),
+                            F.lit(salt)))
+    w = Window.partitionBy(*strata).orderBy(key.asc(), F.col("doc_id"))
+    return (d.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("doc_id", *strata, F.col("rk").cast("long").alias("rk")))
+
+
+def sql_sample_exact_k(strata: tuple = ("lang",), k: int = 10,
+                       salt: str = "17") -> str:
+    q = ", ".join(strata)
+    return f"""
+SELECT doc_id, {q}, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT doc_id, {q},
+         ROW_NUMBER() OVER (
+           PARTITION BY {q}
+           ORDER BY MD5(CAST(doc_id AS VARCHAR) || '-' || '{salt}'), doc_id
+         ) AS rk
+  FROM documents
+)
+WHERE rk <= {k}
+"""

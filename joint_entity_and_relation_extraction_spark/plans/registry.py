@@ -398,6 +398,9 @@ R07_PENDING_QUERIES = {
     # SCD2 validity intervals from a change stream (table-maintenance
     # form: iceberglite.scd2_upsert)
     "window_scd2": QQ.q_window_scd2,
+    # exact-k-per-stratum deterministic draw (salted md5 ranking) — the
+    # size-guaranteed complement of fraction-based sample_stratified
+    "sample_exact_k": CU.sample_exact_k,
 }
 
 R07_PENDING_ORACLE = {
@@ -408,6 +411,7 @@ R07_PENDING_ORACLE = {
     "iceberg_bloom_lookup": QQ.SQL_ICEBERG_BLOOM_LOOKUP,
     "curation_k_anonymity": CU.sql_k_anonymity_filter(),
     "window_scd2": QQ.SQL_WINDOW_SCD2,
+    "sample_exact_k": CU.sql_sample_exact_k(),
 }
 
 
@@ -492,3 +496,49 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
     canonicalization → deduplicated (subj, pred, obj) triples."""
     return q_kg_canonical_triples(spark, sf_dir).orderBy(
         F.desc("evidence_count"), "subj", "pred", "obj")
+
+
+def propose_next_window(repo_root: str | None = None) -> dict:
+    """Mechanize the next round's rotation (VERDICT r05 item 4 carried
+    one step further): from the committed CORRECTNESS files plus this
+    round's WINDOW (which becomes the next CORRECTNESS file), compute
+    who MUST sit in the next window — the staged R07_PENDING pool (a
+    query registers only with a same-round seat) and every query whose
+    newest driver stamp will fall out of the 3-round freshness rule —
+    then fill the remaining seats oldest-stamp-first. Returns the seat
+    accounting; the deliberate rotation copies `proposal` into WINDOW
+    and tests/test_registry.py. Raises if the mandatory set alone
+    overflows DRIVER_WINDOW (that means the pending pool must shrink or
+    the window rule must be revisited — loudly, not silently)."""
+    import glob
+    import re
+
+    root = repo_root or _REPO_ROOT
+    rounds: dict[int, set] = {}
+    for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"_r0*(\d+)\.json$", f).group(1))
+        with open(f) as fh:
+            rounds[rnd] = set(json.load(fh))
+    this_round = max(rounds) + 1
+    rounds[this_round] = set(WINDOW)  # this window becomes a stamp file
+    next_round = this_round + 1
+    last: dict[str, int] = {}
+    for rnd, names in rounds.items():
+        for n in names:
+            last[n] = max(last.get(n, 0), rnd)
+    registered = set(all_queries())
+    pending = list(R07_PENDING_QUERIES)
+    expiring = sorted(q for q in registered
+                      if last.get(q, 0) <= next_round - 3)
+    mandatory = pending + expiring
+    if len(mandatory) > DRIVER_WINDOW:
+        raise ValueError(
+            f"mandatory seats ({len(mandatory)}) overflow the "
+            f"{DRIVER_WINDOW}-entry window: {mandatory}")
+    filler = sorted((q for q in registered if q not in set(mandatory)),
+                    key=lambda q: (last.get(q, 0), q))
+    proposal = mandatory + filler[:DRIVER_WINDOW - len(mandatory)]
+    return {"round": next_round, "pending": pending,
+            "expiring": expiring, "filler_used":
+                filler[:DRIVER_WINDOW - len(mandatory)],
+            "proposal": proposal}

@@ -114,3 +114,19 @@ def test_scrub_stats_consistent_with_scrub_text(spark):
             t = text[doc_id]
             assert t.n_kept == r.n_words - r.words_removed
             assert len(t.text_scrubbed.split(" ")) == t.n_kept
+
+
+def test_propose_next_window_accounting():
+    """The rotation planner must produce a full, duplicate-free window
+    that seats every pending query and every stamp about to expire —
+    the computation the r07 session copies into WINDOW verbatim."""
+    from joint_entity_and_relation_extraction_spark.plans import registry
+
+    p = registry.propose_next_window()
+    assert len(p["proposal"]) == registry.DRIVER_WINDOW
+    assert len(set(p["proposal"])) == registry.DRIVER_WINDOW
+    assert set(registry.R07_PENDING_QUERIES) <= set(p["proposal"])
+    assert set(p["expiring"]) <= set(p["proposal"])
+    # expiring ⊆ registered, pending ∩ registered = ∅
+    assert set(p["expiring"]) <= set(registry.all_queries())
+    assert not set(p["pending"]) & set(registry.all_queries())
