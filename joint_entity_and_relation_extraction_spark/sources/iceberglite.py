@@ -1198,3 +1198,67 @@ def scd2_upsert(spark: SparkSession, updates: DataFrame, root: str,
         m["current_snapshot"] = snap_id
         _commit(root, m)
     return snap_id
+
+
+def stage_append(df: DataFrame, root: str,
+                 partition_by: list[str] | None = None,
+                 stats_cols: list[str] | None = None,
+                 bloom_cols: list[str] | None = None) -> int:
+    """Write-audit-publish (Iceberg's WAP workflow): commit the snapshot
+    into history WITHOUT advancing ``current_snapshot``. Production
+    readers keep seeing the old table; an auditor pins the staged id
+    (``read(root, snapshot=staged_id)``), runs its checks, then
+    :func:`publish` flips the pointer — the flip is metadata-only and
+    atomic, so a failed audit simply never publishes (the staged files
+    are reclaimed by expire_snapshots' orphan sweep once truncated).
+    """
+    partition_by = partition_by if partition_by is not None \
+        else _load(root)["partition_by"]
+    new_units = _write_snapshot(df, root, _new_token(), partition_by)
+    stats = (_collect_unit_stats(root, new_units, stats_cols)
+             if stats_cols else {})
+    blooms = (_collect_unit_blooms(root, new_units, bloom_cols)
+              if bloom_cols else {})
+    schema_json = df.schema.json()
+    with _meta_lock(root):
+        m = _load(root)
+        parent = m["current_snapshot"]
+        snap_id = _next_id(m)
+        m["partition_by"] = partition_by
+        if stats:
+            m.setdefault("unit_stats", {}).update(stats)
+        if blooms:
+            m.setdefault("unit_blooms", {}).update(blooms)
+        m["snapshots"].append({
+            "id": snap_id, "parent": parent, "operation": "append",
+            "units": _units_at(m, parent) + new_units, "added": new_units,
+            "tag": None, "schema": schema_json, "staged": True,
+            "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        })
+        # current_snapshot intentionally NOT advanced
+        _commit(root, m)
+    return snap_id
+
+
+def publish(root: str, snapshot: int) -> int:
+    """Publish a staged snapshot (WAP audit passed). Validates the
+    staged snapshot's parent is STILL the current snapshot — a writer
+    that committed in between invalidates the staged lineage, and the
+    caller must re-stage on top (the same optimistic-concurrency rule
+    every other commit path follows)."""
+    with _meta_lock(root):
+        m = _load(root)
+        target = next((s for s in m["snapshots"] if s["id"] == snapshot),
+                      None)
+        if target is None:
+            raise ValueError(f"unknown snapshot {snapshot}")
+        if not target.get("staged"):
+            raise ValueError(f"snapshot {snapshot} was not staged")
+        if target["parent"] != m["current_snapshot"]:
+            raise CommitConflict(
+                f"table advanced {target['parent']} -> "
+                f"{m['current_snapshot']} since staging; re-stage")
+        del target["staged"]
+        m["current_snapshot"] = snapshot
+        _commit(root, m)
+    return snapshot

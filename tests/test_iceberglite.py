@@ -726,3 +726,48 @@ def test_scd2_upsert_matches_model(spark, tbl):
     # an scd2 snapshot modifies rows — incremental append scan refuses
     with pytest.raises(ValueError, match="scd2"):
         il.read_incremental(spark, tbl, from_snapshot=s1)
+
+
+def test_wap_stage_audit_publish(spark, tbl):
+    """Write-audit-publish (r06): a staged snapshot is invisible to
+    production reads until publish; an auditor pins it by id; a commit
+    that lands between stage and publish invalidates the staged lineage
+    (CommitConflict — re-stage)."""
+    il.append(_df(spark, [("a", 1)]), tbl, ["k"])
+    staged = il.stage_append(_df(spark, [("b", 2)]), tbl, ["k"])
+    # production readers: unchanged
+    assert il.read(spark, tbl).count() == 1
+    # auditor pins the staged snapshot: sees old + staged rows
+    audit = {(r.k, r.v) for r in il.read(spark, tbl,
+                                         snapshot=staged).collect()}
+    assert audit == {("a", 1), ("b", 2)}
+    il.publish(tbl, staged)
+    assert il.current_snapshot(tbl) == staged
+    assert il.read(spark, tbl).count() == 2
+    with pytest.raises(ValueError, match="not staged"):
+        il.publish(tbl, staged)  # double-publish is loud
+    # interleaved commit invalidates a staged snapshot
+    staged2 = il.stage_append(_df(spark, [("c", 3)]), tbl, ["k"])
+    il.append(_df(spark, [("d", 4)]), tbl, ["k"])
+    with pytest.raises(il.CommitConflict, match="re-stage"):
+        il.publish(tbl, staged2)
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        il.publish(tbl, 9999)
+
+
+def test_partition_evolution_mixed_layouts_read_back(spark, tbl):
+    """Partition-spec evolution (Iceberg: specs are per-snapshot): a
+    table whose early snapshots partition by k and later ones by v must
+    read back whole — partition values resolve per snap dir via
+    basePath, and the committed schema fixes column order."""
+    il.append(_df(spark, [("a", 1), ("b", 2)]), tbl, ["k"])
+    il.append(_df(spark, [("c", 3), ("d", 4)]), tbl, ["v"])
+    got = {(r.k, r.v) for r in il.read(spark, tbl).collect()}
+    assert got == {("a", 1), ("b", 2), ("c", 3), ("d", 4)}
+    # manifest-side pruning still works on the layout that HAS the col
+    pruned = il.read(spark, tbl, where={"k": "a"})
+    vals = {(r.k, r.v) for r in pruned.collect()}
+    # k=b's unit is pruned; the v-partitioned units don't carry k in
+    # their paths so they always survive (pruning never loses rows)
+    assert ("a", 1) in vals and ("b", 2) not in vals
+    assert {("c", 3), ("d", 4)} <= vals
