@@ -419,3 +419,74 @@ FROM g GROUP BY gram
 ORDER BY df DESC, gram ASC
 LIMIT {k}
 """
+
+
+# --- BM25 retrieval scoring -------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+#: default witness query — terms present in the synthetic fixture vocab
+BM25_TERMS = ("query", "join", "table")
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str,
+              terms: tuple = BM25_TERMS, k: int = 20) -> DataFrame:
+    """Okapi BM25 document scoring for a term-set query (r06, staged
+    R07_PENDING) — the retrieval primitive corpus curation uses to pull
+    topical slices (and the missing sibling of the unigram-LM scorer
+    above). Three shuffles: doc lengths, per-(doc, term) tf, per-term df;
+    the corpus scalars (avgdl, n_docs) ride a broadcast single-row cross
+    join exactly like unigram_logprob's total — no driver collect. The
+    term filter lands BEFORE the tf aggregate, so the scored stream is
+    O(docs containing a query term), not O(corpus words). Deterministic
+    top-k: (bm25 desc, doc_id) with both engines ranking the same
+    round6 scores."""
+    w = (read_docs(spark, sf_dir)
+         .select("doc_id", F.explode(_words()).alias("w"))
+         .localCheckpoint(eager=False))  # feeds dl AND tf
+    dl = w.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    corpus = dl.groupBy().agg(F.avg("dl").alias("avgdl"),
+                              F.count("*").alias("n_docs"))
+    tf = (w.filter(F.col("w").isin(*terms))
+          .groupBy("doc_id", "w").agg(F.count("*").alias("tf")))
+    df = tf.groupBy("w").agg(F.count("*").alias("df"))  # (doc,w) distinct
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0)
+    denom = (F.col("tf")
+             + BM25_K1 * (1.0 - BM25_B
+                          + BM25_B * F.col("dl") / F.col("avgdl")))
+    contrib = idf * F.col("tf") * (BM25_K1 + 1.0) / denom
+    scored = (tf.join(df, "w").join(dl, "doc_id")
+              .crossJoin(F.broadcast(corpus))
+              .select("doc_id", contrib.alias("contrib")))
+    return (scored.groupBy("doc_id")
+            .agg(F.round(F.sum("contrib"), 6).alias("bm25"),
+                 F.count("*").cast("bigint").alias("n_terms_hit"))
+            .orderBy(F.col("bm25").desc(), F.col("doc_id"))
+            .limit(k))
+
+
+def sql_bm25_topk(terms: tuple = BM25_TERMS, k: int = 20) -> str:
+    tl = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH w AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w
+           FROM documents),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM w GROUP BY doc_id),
+corpus AS (SELECT AVG(dl) AS avgdl, COUNT(*) AS n_docs FROM dl),
+tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM w
+       WHERE w IN ({tl}) GROUP BY doc_id, w),
+df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+scored AS (
+  SELECT tf.doc_id,
+         LN((corpus.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * tf.tf * ({BM25_K1} + 1.0)
+           / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+              + {BM25_B} * dl.dl / corpus.avgdl)) AS contrib
+  FROM tf JOIN df USING (w) JOIN dl USING (doc_id), corpus
+)
+SELECT doc_id, ROUND(SUM(contrib), 6) AS bm25,
+       CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+FROM scored GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT {k}
+"""

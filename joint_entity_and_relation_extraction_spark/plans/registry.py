@@ -401,6 +401,8 @@ R07_PENDING_QUERIES = {
     # exact-k-per-stratum deterministic draw (salted md5 ranking) — the
     # size-guaranteed complement of fraction-based sample_stratified
     "sample_exact_k": CU.sample_exact_k,
+    # Okapi BM25 term-set retrieval — topical-slice pulls for curation
+    "text_bm25_topk": TS.bm25_topk,
 }
 
 R07_PENDING_ORACLE = {
@@ -412,6 +414,7 @@ R07_PENDING_ORACLE = {
     "curation_k_anonymity": CU.sql_k_anonymity_filter(),
     "window_scd2": QQ.SQL_WINDOW_SCD2,
     "sample_exact_k": CU.sql_sample_exact_k(),
+    "text_bm25_topk": TS.sql_bm25_topk(),
 }
 
 
