@@ -117,6 +117,24 @@ QUIET_LOAD_SCALING = float(os.environ.get("JERS_BENCH_QUIET_LOAD_SCALING", "2.5"
 # never quiets (observed waits are 0-105s; ambient load dips below 5
 # every few minutes) — an unbounded wait could starve the whole bench
 QUIET_WAIT_SECS = float(os.environ.get("JERS_BENCH_QUIET_WAIT", "480"))
+# Self-defending gate (VERDICT r06 item 3): the 1-min loadavg is a
+# LAGGING signal — r06's primary pair passed the loadavg guard and still
+# measured 0.759 in a window whose own kernel probe read 0.788 (a
+# workload proven ~1.0 idle). So before minting the gate number, a FAST
+# in-window kernel probe (LOW->HIGH pair only, no Spark) must read at
+# least GATE_PROBE_MIN; below that the window is rejected and the guard
+# re-waits — bounded attempts, every rejected window disclosed in the
+# artifact. The gate MEASUREMENT still runs exactly once, in the first
+# window the probe accepts (no selection across measurements).
+GATE_PROBE_MIN = float(os.environ.get("JERS_BENCH_GATE_PROBE_MIN", "0.9"))
+GATE_WINDOW_ATTEMPTS = int(os.environ.get("JERS_BENCH_GATE_ATTEMPTS", "3"))
+# Headline integrity under permanent load (VERDICT r06 item 5): all 5
+# r06 headline runs sat at load1 21-33 — the median defends against
+# bursts, not a uniformly contended window. If every run of the headline
+# set STARTS above this load, the set is flagged contended and retried
+# once in a later window; the less-loaded set is reported, both
+# disclosed.
+HEADLINE_LOAD_MAX = float(os.environ.get("JERS_BENCH_HEADLINE_LOAD_MAX", "8"))
 # JVM attribution probe size: tens of seconds at local[8] so the 8→32
 # ratio measures throughput, not stage fixed costs (8B rows at x64)
 ATTR_JVM_ROWS = 125_000_000 * REPLICATE
@@ -135,9 +153,14 @@ BENCH_QUERIES = [
     # shape a 100 TB user runs (VERDICT r05 item 2); the ngram-based
     # graph_degrees entry stays for series comparability
     "graph_degrees_lsh",
-    # r06 addition: substring-span dedup (R07_PENDING pool — resolved
-    # from the staged dict until the r07 rotation registers it)
+    # r06 addition: substring-span dedup (staged in r06, registered by
+    # the r07 rotation)
     "dedup_substring_spans",
+    # r07 additions (new keys only, same series rule): the bigram LM is
+    # the heaviest new text op (corpus bigram tally + 3 joins); the
+    # edit verify stacks a bounded-cost levenshtein on the candidate
+    # join — both worth a per-round series at sf0.1
+    "text_bigram_logprob", "dedup_edit_verify",
 ]
 
 
@@ -403,7 +426,7 @@ def child_query_suite() -> None:
     spark = build_session(master=f"local[{CPUS}]", app_name="jers-bench-queries")
     _warmup(spark)
     qs = dict(registry.all_queries())
-    qs.update(registry.R07_PENDING_QUERIES)  # staged r06 pool benchable too
+    qs.update(registry.PENDING_QUERIES)  # staged pool benchable too
     real_read_docs = DD.read_docs
 
     def lsh_r04shape():
@@ -480,6 +503,62 @@ def _try_kernel_probe() -> dict:
         return {"points": {}, "pairs": {}, "loads": {}}
 
 
+def _kernel_probe_pair(lo: int, hi: int, secs: float = 8.0) -> dict:
+    """FAST in-window kernel probe (~35s): lo->hi efficiency of the
+    no-Spark model kernel only — the precheck that decides whether a
+    quiet-by-loadavg window is actually quiet (VERDICT r06 item 3).
+    Returns {"eff": float|None, "points": {...}, "loads": {...}} —
+    eff None means the probe itself failed (disclosed, window accepted:
+    a broken probe must not starve the gate)."""
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        env = dict(os.environ)
+        env["KERNEL_PROBE_SECS"] = str(secs)
+        p = subprocess.run(
+            [sys.executable,
+             os.path.join(here, "jobs", "kernel_scaling_probe.py"),
+             str(lo), str(hi)],
+            capture_output=True, text=True, timeout=300, env=env)
+        lines = [json.loads(ln) for ln in p.stdout.splitlines()
+                 if ln.startswith("{")]
+        eff = next((d["efficiency"] for d in lines if "pair" in d), None)
+        return {"eff": eff,
+                "points": {d["nprocs"]: d["sents_per_sec"]
+                           for d in lines if "nprocs" in d},
+                "loads": {d["nprocs"]: d.get("load1")
+                          for d in lines if "nprocs" in d}}
+    except Exception as ex:  # noqa: BLE001 — disclosed, not hidden
+        sys.stderr.write(f"in-window kernel probe failed: {ex}\n")
+        return {"eff": None, "points": {}, "loads": {}}
+
+
+def _await_gated_window(tag: str, quiet_log: list) -> list[dict]:
+    """Quiet window + in-window probe, retried (bounded) until the probe
+    reads >= GATE_PROBE_MIN: the self-defending form of the scaling
+    guard. Every attempt — accepted or rejected — lands in quiet_log and
+    is returned for the artifact. The caller measures exactly once, in
+    the first accepted window."""
+    attempts: list[dict] = []
+    for i in range(1, GATE_WINDOW_ATTEMPTS + 1):
+        q = _await_quiet_window(f"{tag}_a{i}", QUIET_LOAD_SCALING)
+        probe = _kernel_probe_pair(LOW_CPUS, HIGH_CPUS)
+        rec = {**q, "probe_eff": probe["eff"],
+               "probe_points": probe["points"],
+               "probe_loads": probe["loads"],
+               "accepted": probe["eff"] is None
+               or probe["eff"] >= GATE_PROBE_MIN}
+        attempts.append(rec)
+        quiet_log.append(rec)
+        if rec["accepted"]:
+            break
+        sys.stderr.write(
+            f"gate window [{tag}] attempt {i} REJECTED: in-window kernel "
+            f"probe {probe['eff']} < {GATE_PROBE_MIN} (load1 "
+            f"{rec['load1']}) — re-waiting\n")
+        time.sleep(45)  # let the burst pass before re-polling loadavg
+    return attempts
+
+
 def _await_quiet_window(tag: str, threshold: float | None = None) -> dict:
     """Block (bounded) until the 1-min loadavg is below ``threshold``
     (default QUIET_LOAD; the scaling pairs pass the tighter
@@ -504,11 +583,13 @@ def _await_quiet_window(tag: str, threshold: float | None = None) -> dict:
 def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     quiet_log = []
-    # primary pair, back-to-back in one QUIET window (enforced, not
-    # hoped-for), model-on-every-sentence configuration (see
-    # kg_pipeline_job dedup=False note)
-    quiet_log.append(_await_quiet_window("scaling_primary",
-                                         QUIET_LOAD_SCALING))
+    # primary pair, back-to-back in one QUIET window that also passed
+    # the in-window kernel-probe precheck (self-defending gate, VERDICT
+    # r06 item 3: the loadavg guard is a lagging signal and admitted the
+    # contended window that minted r06's red 0.759). Every rejected
+    # window is disclosed in scaling_gate_attempts; the measurement runs
+    # once, in the first accepted window.
+    gate_attempts = _await_gated_window("scaling_primary", quiet_log)
     lo = _run_child("--point", f"local[{LOW_CPUS}]", "--repeats", "1",
                     "--no-dedup")
     hi = _run_child("--point", f"local[{HIGH_CPUS}]", "--repeats", "1",
@@ -575,9 +656,40 @@ def main() -> None:
     # configuration (inference dedup on) on the MUTATED corpus, whose
     # distinct-sentence residue (~0.5) matches real Common Crawl — the
     # defensible number. Median of REPEATS (odd), all runs disclosed.
+    # Contention integrity (VERDICT r06 item 5): if every run of the set
+    # STARTS above HEADLINE_LOAD_MAX the window was uniformly contended
+    # (the median defends against bursts, not a permanently loaded
+    # window) — retry the whole set once in a later window and report
+    # the less-loaded set, disclosing both.
+    def _min_start_load(res: dict) -> float | None:
+        starts = [rl[0] for rl in res.get("run_load1") or []
+                  if rl and rl[0] is not None]
+        return min(starts) if starts else None
+
+    def _contended(res: dict) -> bool:
+        m = _min_start_load(res)
+        return m is not None and m > HEADLINE_LOAD_MAX
+
     quiet_log.append(_await_quiet_window("headline"))
     real = _run_child("--point", f"local[{CPUS}]", "--repeats",
                       str(REPEATS), "--mutate")
+    headline_first_attempt = None
+    if _contended(real):
+        sys.stderr.write(
+            f"headline set uniformly contended (min start load1 "
+            f"{_min_start_load(real)} > {HEADLINE_LOAD_MAX}) — retrying "
+            f"once in a later window\n")
+        headline_first_attempt = real
+        time.sleep(60)
+        quiet_log.append(_await_quiet_window("headline_retry"))
+        retry = _run_child("--point", f"local[{CPUS}]", "--repeats",
+                           str(REPEATS), "--mutate")
+        a, b = _min_start_load(real), _min_start_load(retry)
+        if b is not None and (a is None or b < a):
+            real = retry
+        else:
+            headline_first_attempt = retry  # keep original, disclose retry
+    headline_contended = _contended(real)
     # plain xK replication (residue ~2%): the dedup UPPER BOUND —
     # supplementary, disclosed as such, never the headline (leading with
     # it invited the r02/r03 'disclosed != representative' criticism)
@@ -614,6 +726,23 @@ retry/selection.
 **Scaling efficiency (N → 4N, primary {LOW_CPUS}→{HIGH_CPUS})** =
 ({hi['docs_per_sec']} / {lo['docs_per_sec']}) / {HIGH_CPUS // LOW_CPUS}
 = **{efficiency}** (gate: >= 0.8, BASELINE.json).
+
+The gate window is SELF-DEFENDING (r07, after the r06 artifact minted a
+0.759 in a window the loadavg guard admitted but whose own probe read
+0.788): before the pair runs, a fast in-window kernel probe
+({LOW_CPUS}->{HIGH_CPUS}, no Spark) must read >= {GATE_PROBE_MIN};
+windows below that are rejected and re-waited (bounded at
+{GATE_WINDOW_ATTEMPTS} attempts, all disclosed). This round:
+{"; ".join(f"attempt {i+1}: probe={a['probe_eff']} load1={a['load1']} "
+           + ("ACCEPTED" if a['accepted'] else "rejected")
+           for i, a in enumerate(gate_attempts))}. The pair itself is
+still measured exactly once, in the first accepted window — window
+retry is precheck-driven, never gate-number shopping.
+
+Headline contention flag (r07): headline_contended =
+{headline_contended} (set when every run of the headline set starts
+above load1 {HEADLINE_LOAD_MAX}; a contended first set is retried once
+in a later window and both sets disclosed in the JSON artifact).
 
 Each scaling/attribution pair and the headline start only after a
 QUIET-WINDOW GUARD: the parent blocks (up to {QUIET_WAIT_SECS:.0f}s)
@@ -736,6 +865,16 @@ cluster-width decision):
         "replicate": REPLICATE,
         "n_docs": real["n_docs"],
         "scaling_efficiency": efficiency,
+        "scaling_gate_attempts": gate_attempts,
+        "gate_probe_min": GATE_PROBE_MIN,
+        "headline_contended": headline_contended,
+        "headline_load_max": HEADLINE_LOAD_MAX,
+        "headline_first_attempt": (
+            None if headline_first_attempt is None else
+            {"secs": headline_first_attempt["secs"],
+             "sec": headline_first_attempt["sec"],
+             "docs_per_sec": headline_first_attempt["docs_per_sec"],
+             "run_load1": headline_first_attempt.get("run_load1")}),
         "scaling_efficiency_8_32": efficiency_8_32,
         "stage_walls_n": stage_n.get("stages"),
         "stage_walls_4n": stage_4n.get("stages"),

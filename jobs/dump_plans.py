@@ -37,7 +37,12 @@ SHOW = [
     # r06
     "graph_degrees_lsh",      # banded-LSH edge base: equi-join, no NL
     "kg_triple_metrics",      # strict-key full-outer vs goldens, one agg
-    "dedup_substring_spans",  # gram-DF partial agg + semi-join (R07_PENDING)
+    "dedup_substring_spans",  # gram-DF partial agg + semi-join
+    # r07
+    "text_bigram_logprob",    # in-row zip_with bigrams, LM equi-joins
+    "dedup_edit_verify",      # candidate equi-join + JVM levenshtein verify
+    "curation_domain_cap",    # map-side URL parse, one-exchange top-k window
+    "text_bm25_topk",         # term-filtered tf, broadcast corpus scalars
 ]
 
 
@@ -50,7 +55,7 @@ def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = build_session(master="local[4]", app_name="jers-plans")
     qs = dict(registry.all_queries())
-    qs.update(registry.R07_PENDING_QUERIES)
+    qs.update(registry.PENDING_QUERIES)
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/PLANS.md", "w") as f:
         f.write(f"# Physical plans ({sf}, {time.strftime('%Y-%m-%d')})\n\n"

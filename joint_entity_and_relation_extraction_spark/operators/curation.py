@@ -534,7 +534,7 @@ FROM documents
 def k_anonymity_filter(spark: SparkSession, sf_dir: str,
                        quasi: tuple = ("lang", "source"),
                        k: int = 5) -> DataFrame:
-    """Privacy-grade curation (r06, staged R07_PENDING): suppress every
+    """Privacy-grade curation (r06, registered in the r07 rotation): suppress every
     document whose quasi-identifier combination is shared by fewer than
     k documents — the standard k-anonymity release rule, the structured
     complement of the regex PII scrub (textstats.pii_scrub removes
@@ -572,7 +572,7 @@ def sample_exact_k(spark: SparkSession, sf_dir: str,
                    strata: tuple = ("lang",), k: int = 10,
                    salt: str = "17") -> DataFrame:
     """Deterministic exact-k-per-stratum sampling (r06, staged
-    R07_PENDING): rank documents inside each stratum by the md5 of their
+    registered in the r07 rotation): rank documents inside each stratum by the md5 of their
     id + salt and keep the first k — a reproducible "random" draw with an
     EXACT size guarantee per stratum, which fraction-based
     sample_stratified cannot give (its per-stratum counts are binomial).
@@ -608,4 +608,66 @@ FROM (
   FROM documents
 )
 WHERE rk <= {k}
+"""
+
+
+def domain_cap(spark: SparkSession, sf_dir: str, cap: int = 5) -> DataFrame:
+    """Per-domain document cap (r07, staged for r08) — the crawl-curation
+    rule that stops any single site from dominating the corpus (C4 and
+    Gopher both cap per-domain contributions): extract the registered
+    domain from each document's URL, rank the domain's documents by
+    quality (length here; any score column slots in), keep the best
+    ``cap``. The synthetic corpus carries no URL column, so the witness
+    first splices a deterministic URL per document (same expression on
+    both engines — the pii_scrub precedent); the operator under test is
+    the host-extraction + per-domain top-k.
+
+    Scale shape: URL parsing is a map-only regexp; the cap is the
+    standard top-k-per-group single-exchange window on the domain key.
+    Domains are heavy-tailed — at crawl scale the hot-domain partitions
+    are exactly the rows the cap discards, and row_number still needs
+    the full group sorted, so a production run pre-filters with an
+    approximate per-domain count (the skew-salting pattern in
+    operators/skew.py) before the exact window; at witness scale the
+    plain window is the honest plan."""
+    from pyspark.sql import Window
+
+    d = read_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"), F.lit(".example"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(".org")).otherwise(F.lit(".com")),
+        F.lit("/p/"), F.col("doc_id").cast("string"))
+    host = F.regexp_extract(url, r"^https?://([^/]+)", 1)
+    domain = F.regexp_replace(host, r"^www\.", "")
+    w = Window.partitionBy("domain").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id"))
+    return (d.select("doc_id", "n_chars", domain.alias("domain"))
+            .withColumn("rk", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rk") <= cap)
+            .select("doc_id", "domain", "rk"))
+
+
+def sql_domain_cap(cap: int = 5) -> str:
+    return f"""
+WITH u AS (
+  SELECT doc_id, n_chars,
+         'https://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+         || source || '.example'
+         || CASE WHEN doc_id % 4 = 0 THEN '.org' ELSE '.com' END
+         || '/p/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+),
+d AS (
+  SELECT doc_id, n_chars,
+         REGEXP_REPLACE(REGEXP_EXTRACT(url, '^https?://([^/]+)', 1),
+                        '^www\\.', '') AS domain
+  FROM u
+)
+SELECT doc_id, domain,
+       CAST(ROW_NUMBER() OVER (PARTITION BY domain
+                               ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
+FROM d
+QUALIFY rk <= {cap}
 """

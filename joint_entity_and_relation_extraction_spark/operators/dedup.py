@@ -926,3 +926,62 @@ FROM kept JOIN (SELECT doc_id, CAST(LEN(w) AS BIGINT) AS n_words
   ON kept.doc_id = t2.doc_id
 GROUP BY kept.doc_id, t2.n_words
 """
+
+
+# --- edit-distance verification of near-dup candidates -----------------------
+
+#: prefix length for the edit-distance check: levenshtein is O(len²) per
+#: pair, so the verify cost must be bounded per candidate regardless of
+#: document size — 160 chars separates near-identical from merely
+#: topically-similar docs at a fixed cost
+EDIT_PREFIX = 160
+
+
+def edit_verify_pairs(spark: SparkSession, sf_dir: str, n: int = 2,
+                      threshold: float = 0.2,
+                      max_dist: int = 40) -> DataFrame:
+    """Edit-distance verification of shingle-candidate near-dup pairs
+    (r07, staged for r08): candidates come from the df-capped shingle
+    equi-join (:func:`ngram_jaccard_pairs`), then each pair is verified
+    by the levenshtein distance of the documents' fixed-length prefixes
+    — the character-level confirmation pass that catches
+    shingle-coincidence false positives (shared boilerplate vocabulary
+    with different prose). Emits both the distance and a normalized
+    similarity so downstream keeps its own bar.
+
+    Scale shape: candidate generation is the bounded equi-join (never
+    all-pairs); the verify is a constant-cost (EDIT_PREFIX²) comparison
+    per candidate via the JVM built-in levenshtein — whole-stage
+    codegen, no Python. The join back to the two text prefixes is two
+    equi-joins on doc_id against a pruned (doc_id, prefix) projection;
+    the pair set is candidate-sized, the corpus is touched once."""
+    cand = ngram_jaccard_pairs(spark, sf_dir, n=n, threshold=threshold)
+    pre = read_docs(spark, sf_dir).select(
+        "doc_id", F.substring("text", 1, EDIT_PREFIX).alias("pre"))
+    pa = pre.select(F.col("doc_id").alias("d1"), F.col("pre").alias("p1"))
+    pb = pre.select(F.col("doc_id").alias("d2"), F.col("pre").alias("p2"))
+    dist = F.levenshtein("p1", "p2")
+    sim = F.round(F.lit(1.0) - dist.cast("double")
+                  / F.greatest(F.length("p1"), F.length("p2")), 6)
+    return (cand.join(pa, "d1").join(pb, "d2")
+            .select("d1", "d2", "jaccard",
+                    dist.cast("bigint").alias("edit_dist"),
+                    sim.alias("edit_sim"))
+            .filter(F.col("edit_dist") <= max_dist))
+
+
+def sql_edit_verify_pairs(n: int = 2, threshold: float = 0.2,
+                          max_dist: int = 40,
+                          prefix: int = EDIT_PREFIX) -> str:
+    cand = sql_ngram_jaccard(n=n, threshold=threshold)
+    return f"""
+WITH cand AS ({cand}),
+pre AS (SELECT doc_id, SUBSTR(text, 1, {prefix}) AS pre FROM documents)
+SELECT d1, d2, jaccard,
+       CAST(LEVENSHTEIN(a.pre, b.pre) AS BIGINT) AS edit_dist,
+       ROUND(1.0 - CAST(LEVENSHTEIN(a.pre, b.pre) AS DOUBLE)
+             / GREATEST(LENGTH(a.pre), LENGTH(b.pre)), 6) AS edit_sim
+FROM cand JOIN pre a ON cand.d1 = a.doc_id
+          JOIN pre b ON cand.d2 = b.doc_id
+WHERE LEVENSHTEIN(a.pre, b.pre) <= {max_dist}
+"""

@@ -432,7 +432,7 @@ BM25_TERMS = ("query", "join", "table")
 def bm25_topk(spark: SparkSession, sf_dir: str,
               terms: tuple = BM25_TERMS, k: int = 20) -> DataFrame:
     """Okapi BM25 document scoring for a term-set query (r06, staged
-    R07_PENDING) — the retrieval primitive corpus curation uses to pull
+    registered in the r07 rotation) — the retrieval primitive corpus curation uses to pull
     topical slices (and the missing sibling of the unigram-LM scorer
     above). Three shuffles: doc lengths, per-(doc, term) tf, per-term df;
     the corpus scalars (avgdl, n_docs) ride a broadcast single-row cross
@@ -489,4 +489,122 @@ SELECT doc_id, ROUND(SUM(contrib), 6) AS bm25,
 FROM scored GROUP BY doc_id
 ORDER BY bm25 DESC, doc_id
 LIMIT {k}
+"""
+
+
+BIGRAM_LAMBDA = 0.8  # interpolation weight on the bigram term
+
+
+def bigram_logprob(spark: SparkSession, sf_dir: str,
+                   lam: float = BIGRAM_LAMBDA) -> DataFrame:
+    """Interpolated bigram language-model scoring (r07, staged for the
+    r08 rotation) — the next step up from :func:`unigram_logprob` toward
+    the KenLM-style perplexity filters production curation runs (CCNet,
+    Wenzek et al. 2019): P(w2|w1) = lam * c(w1 w2)/c(w1) +
+    (1-lam) * c(w2)/total, scored as the per-document mean negative
+    log2 over its bigram occurrences.
+
+    Scale shape: bigrams are built INSIDE the row via zip_with over the
+    word array (no positional self-join — a posexplode+join would add a
+    corpus-wide shuffle); the corpus then pays one bigram tally, one
+    unigram tally, and equi-joins back on the (uniformly distributed)
+    word keys. The scalar corpus total rides a broadcast single-row
+    cross join like unigram_logprob's. The words frame feeds the
+    unigram LM and the bigram stream → localCheckpoint (CLAUDE.md
+    two-consumer invariant)."""
+    d = (read_docs(spark, sf_dir)
+         .select("doc_id", _words().alias("ws"))
+         .localCheckpoint(eager=False))  # feeds unigram AND bigram streams
+    w = d.select("doc_id", F.explode("ws").alias("w"))
+    uni = w.groupBy("w").agg(F.count("*").alias("c"))
+    tot = w.groupBy().agg(F.count("*").alias("tot"))
+    bg_expr = F.expr(
+        "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),"
+        " (a, b) -> struct(a as w1, b as w2))")
+    bg = (d.select("doc_id", F.explode(bg_expr).alias("b"))
+          .select("doc_id", F.col("b.w1").alias("w1"),
+                  F.col("b.w2").alias("w2")))
+    big = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    p = (F.lit(lam) * F.col("c12") / F.col("c1")
+         + F.lit(1.0 - lam) * F.col("c2") / F.col("tot"))
+    scored = (bg.join(big, ["w1", "w2"]).join(u1, "w1").join(u2, "w2")
+              .crossJoin(F.broadcast(tot))
+              .select("doc_id", (-F.log2(p)).alias("nlp")))
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.round(F.avg("nlp"), 6).alias("avg_neg_log2p"))
+
+
+def sql_bigram_logprob(lam: float = BIGRAM_LAMBDA) -> str:
+    return f"""
+WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+w AS (SELECT doc_id, UNNEST(ws) AS w FROM d),
+uni AS (SELECT w, COUNT(*) AS c FROM w GROUP BY w),
+t AS (SELECT COUNT(*) AS tot FROM w),
+bg AS (SELECT doc_id, UNNEST(list_transform(range(1, len(ws)),
+                                            i -> ws[i])) AS w1,
+              UNNEST(list_transform(range(1, len(ws)),
+                                    i -> ws[i + 1])) AS w2
+       FROM d),
+big AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(-LOG2({lam} * big.c12 / u1.c
+                       + {1.0 - lam} * u2.c / t.tot)), 6) AS avg_neg_log2p
+FROM bg
+JOIN big USING (w1, w2)
+JOIN uni u1 ON u1.w = bg.w1
+JOIN uni u2 ON u2.w = bg.w2, t
+GROUP BY doc_id
+"""
+
+
+#: vocabulary cut for the Zipf fit — rank tail is noise at any corpus size
+ZIPF_TOP_N = 200
+
+
+def zipf_slope(spark: SparkSession, sf_dir: str,
+               top_n: int = ZIPF_TOP_N) -> DataFrame:
+    """Corpus Zipfian-fit diagnostic (r07, staged for r08): OLS slope of
+    log2(count) on log2(rank) over the top-N vocabulary — natural text
+    sits near -1; templated/generated corpora drift toward 0 (flat) or
+    below -1.5 (spiky), so the slope is a one-number corpus-health
+    check curation dashboards track. Also exercises the regression
+    aggregates (regr_slope/regr_intercept/regr_r2) end-to-end.
+
+    Scale shape: one map-side-combinable word tally, a top-N rank
+    window over the (vocabulary-sized, not corpus-sized) count table,
+    then a single-row regression aggregate. Ties rank deterministically
+    by word so both engines fit the same N points."""
+    from pyspark.sql import Window
+
+    w = (read_docs(spark, sf_dir)
+         .select(F.explode(_words()).alias("w")))
+    counts = w.groupBy("w").agg(F.count("*").alias("c"))
+    rk = Window.orderBy(F.col("c").desc(), F.col("w"))
+    top = (counts.withColumn("rank", F.row_number().over(rk))
+           .filter(F.col("rank") <= top_n)
+           .select(F.log2("rank").alias("x"), F.log2("c").alias("y")))
+    return top.agg(
+        F.round(F.regr_slope("y", "x"), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept("y", "x"), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2("y", "x"), 6).alias("zipf_r2"),
+        F.count("*").cast("bigint").alias("n_points"))
+
+
+def sql_zipf_slope(top_n: int = ZIPF_TOP_N) -> str:
+    return f"""
+WITH w AS (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents),
+counts AS (SELECT w, COUNT(*) AS c FROM w GROUP BY w),
+top AS (
+  SELECT LOG2(ROW_NUMBER() OVER (ORDER BY c DESC, w)) AS x, LOG2(c) AS y
+  FROM counts
+  QUALIFY ROW_NUMBER() OVER (ORDER BY c DESC, w) <= {top_n}
+)
+SELECT ROUND(REGR_SLOPE(y, x), 6) AS zipf_slope,
+       ROUND(REGR_INTERCEPT(y, x), 6) AS zipf_intercept,
+       ROUND(REGR_R2(y, x), 6) AS zipf_r2,
+       CAST(COUNT(*) AS BIGINT) AS n_points
+FROM top
 """

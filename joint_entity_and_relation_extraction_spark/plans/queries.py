@@ -1090,7 +1090,7 @@ def q_iceberg_incremental_scan(spark, sf):
     the manifest's per-snapshot `added` unit lists (the per-batch-cost
     contract the streaming ingest relies on). Oracle: the complement
     filter over the source table. compact-skip / delete-raise semantics
-    are pinned in tests/test_iceberglite.py. Staged R07_PENDING (written
+    are pinned in tests/test_iceberglite.py. Registered in the r07 rotation (written
     after the r06 window froze; seats free up in r07)."""
     import shutil
     import tempfile
@@ -1140,7 +1140,7 @@ def q_iceberg_bloom_lookup(spark, sf):
     spans the whole domain). The exact row filter still applies, so a
     bloom false positive can only cost I/O, never correctness; that files
     ARE skipped is pinned in tests/test_iceberglite.py. Oracle: the
-    equivalent IN-filter over the source table. Staged R07_PENDING."""
+    equivalent IN-filter over the source table. Registered in the r07 rotation."""
     import shutil
     import tempfile
 
@@ -1176,9 +1176,74 @@ FROM documents WHERE doc_id IN {_BLOOM_LOOKUP_IDS}
 """
 
 
+_ICEBERG_META_CACHE: dict = {}
+
+
+def q_iceberg_metadata_snapshots(spark, sf):
+    """Driver witness for the pytest-only IcebergLite maintenance
+    surfaces (VERDICT r06 'What's missing' #4): one scripted lifecycle —
+    append ×2 → compact → rollback → WAP stage+publish → WAP stage
+    (audit never passes) — then the ``snapshots`` metadata table, which
+    must show every operation label, unit accounting, the staged flag on
+    the unpublished snapshot, and the current pointer parked on the
+    PUBLISHED one (not the later staged one). Everything is
+    manifest-derived (no data scan); ts/tag are wall-clock and excluded.
+    The oracle is the literal expected history — deterministic because
+    snapshot ids are sequential, every append is one unit, and compact
+    of an unpartitioned table yields one unit. Staged for the r08
+    rotation."""
+    import shutil
+    import tempfile
+
+    from ..sources import iceberglite as il
+
+    key = (spark.sparkContext.applicationId, sf)
+    if key not in _ICEBERG_META_CACHE:
+        if not _ICEBERG_META_CACHE:
+            import atexit
+
+            atexit.register(lambda: [
+                shutil.rmtree(root, ignore_errors=True)
+                for root in _ICEBERG_META_CACHE.values()])
+        for old in [k for k in _ICEBERG_META_CACHE if k[0] != key[0]]:
+            shutil.rmtree(_ICEBERG_META_CACHE.pop(old), ignore_errors=True)
+        n = read_table(spark, sf, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey")
+        root = tempfile.mkdtemp(prefix="jers-iceberg-meta-")
+        il.append(n.filter(F.col("n_regionkey") < 2), root, [])       # 1
+        s2 = il.append(n.filter(F.col("n_regionkey").isin(2, 3)),
+                       root, [])                                      # 2
+        il.compact(spark, root)                                       # 3
+        il.rollback_to(root, s2)                                      # 4
+        s5 = il.stage_append(n.filter(F.col("n_regionkey") == 4),
+                             root, [])                                # 5
+        il.publish(root, s5)
+        il.stage_append(n.filter(F.col("n_regionkey") == 0), root, [])  # 6
+        _ICEBERG_META_CACHE[key] = root
+    root = _ICEBERG_META_CACHE[key]
+    return (il.metadata_table(spark, root, "snapshots")
+            .select("id",
+                    F.coalesce(F.col("parent"), F.lit(0))
+                    .alias("parent_id"),
+                    "operation", "n_units", "n_added", "staged",
+                    "is_current"))
+
+
+SQL_ICEBERG_METADATA_SNAPSHOTS = """
+SELECT * FROM (VALUES
+  (1, 0, 'append',   1, 1, FALSE, FALSE),
+  (2, 1, 'append',   2, 1, FALSE, FALSE),
+  (3, 2, 'compact',  1, 1, FALSE, FALSE),
+  (4, 3, 'rollback', 2, 0, FALSE, FALSE),
+  (5, 4, 'append',   3, 1, FALSE, TRUE),
+  (6, 5, 'append',   4, 1, TRUE,  FALSE)
+) AS t(id, parent_id, operation, n_units, n_added, staged, is_current)
+"""
+
+
 def q_window_scd2(spark, sf):
     """SCD2 (type-2 slowly-changing-dimension) interval construction as
-    a query (r06, staged R07_PENDING): each user's event_type stream is
+    a query (r06, registered in the r07 rotation): each user's event_type stream is
     collapsed to its CHANGE points (value != previous), and every change
     becomes a validity interval [effective_from, effective_to) closed by
     the next change, open (is_current) on the last. Two windows over ONE

@@ -181,7 +181,19 @@ def q_kg_triple_metrics(spark, sf):
         "obj_label string").withColumn("_g", F.lit(1))
     t = (X.triples_raw(_inferred(spark, sf)).select(*_TRIPLE_KEY_COLS)
          .dropDuplicates().withColumn("_s", F.lit(1)))
-    j = t.join(g, _TRIPLE_KEY_COLS, "full_outer")
+    # eqNullSafe on every key column (ADVICE r06 low): a NULL key field
+    # on either side must still match its counterpart, not silently
+    # deflate n_match. Spark turns a conjunction of null-safe equalities
+    # into a normal equi-join (SortMergeJoin on coalesced keys), so the
+    # plan shape is unchanged; coalesce() collapses the duplicated key
+    # columns a Column-expression join leaves behind.
+    cond = None
+    for c in _TRIPLE_KEY_COLS:
+        e = t[c].eqNullSafe(g[c])
+        cond = e if cond is None else cond & e
+    j = t.join(g, cond, "full_outer").select(
+        *[F.coalesce(t[c], g[c]).alias(c) for c in _TRIPLE_KEY_COLS],
+        "_s", "_g")
     return (
         j.agg(F.count("_g").cast("bigint").alias("n_golden"),
               F.count("_s").cast("bigint").alias("n_spark"),
@@ -346,6 +358,31 @@ TRAINING_QUERIES = {
     # tests/test_graph.py.
     "graph_degrees_lsh": GR.graph_degrees_lsh,
     "graph_pagerank_lsh": partial(GR.graph_pagerank_lsh, iters=5),
+    # --- r06 staged pool, registered in the r07 rotation (each one
+    # seated in the r07 WINDOW the same round it registers — the
+    # staging discipline from VERDICT r05/r06) -------------------------
+    # substring-level (fixed-n-gram) exact-duplicate span detection and
+    # scrub accounting — the Spark rendition of suffix-array dedup
+    # (Lee et al. 2021); see operators/dedup.py "substring-level" section
+    "dedup_substring_spans": DD.substring_dup_spans,
+    "dedup_substring_scrub": DD.substring_scrub_stats,
+    "dedup_substring_scrub_text": DD.substring_scrub_text,
+    # Iceberg incremental append scan (CDC-append): manifest-only
+    # decision, per-batch cost bounded by new data
+    "iceberg_incremental_scan": QQ.q_iceberg_incremental_scan,
+    # per-unit bloom filters: point-lookup file skipping where min/max
+    # bounds cannot prune (uniformly striped ids)
+    "iceberg_bloom_lookup": QQ.q_iceberg_bloom_lookup,
+    # privacy-grade curation: suppress rows whose quasi-identifier
+    # combination is shared by < k documents
+    "curation_k_anonymity": CU.k_anonymity_filter,
+    # SCD2 validity intervals from a change stream (table-maintenance
+    # form: iceberglite.scd2_upsert)
+    "window_scd2": QQ.q_window_scd2,
+    # exact-k-per-stratum deterministic draw (salted md5 ranking)
+    "sample_exact_k": CU.sample_exact_k,
+    # Okapi BM25 term-set retrieval — topical-slice pulls for curation
+    "text_bm25_topk": TS.bm25_topk,
 }
 
 TRAINING_ORACLE = {
@@ -364,48 +401,7 @@ TRAINING_ORACLE = {
     "graph_degrees": GR.sql_graph_degrees(n=2, threshold=0.2),
     "dedup_clusters_incremental": DD.sql_neardup_clusters(n=2,
                                                           threshold=0.2),
-}
-
-
-# --- r06 late additions, STAGED for r07 ------------------------------------
-# Written after the r06 window froze. Unlike the r03–r05 late-addition
-# pools (registered but never driver-checked — dinged three rounds
-# running), these are NOT registered yet: the r06 window is exactly full
-# (21 never-checked + 3 new + 26 expiring-stamp = 50, see the rotation
-# accounting below), so registering them would either evict a mandatory
-# seat or recreate the unchecked-pool pattern. They are DuckDB-oracled and
-# pytest-parity-green now (tests/test_r07_pending.py runs the driver's
-# exact canon path on them); the r07 rotation moves both dicts into
-# TRAINING_QUERIES/_ORACLE + the WINDOW verbatim, where ~50 seats free up.
-R07_PENDING_QUERIES = {
-    # substring-level (fixed-n-gram) exact-duplicate span detection and
-    # scrub accounting — the Spark rendition of suffix-array dedup
-    # (Lee et al. 2021); see operators/dedup.py "substring-level" section
-    "dedup_substring_spans": DD.substring_dup_spans,
-    "dedup_substring_scrub": DD.substring_scrub_stats,
-    # the scrubbed corpus itself (fully-covered docs dropped) — what a
-    # downstream training run consumes
-    "dedup_substring_scrub_text": DD.substring_scrub_text,
-    # Iceberg incremental append scan (CDC-append): manifest-only
-    # decision, per-batch cost bounded by new data
-    "iceberg_incremental_scan": QQ.q_iceberg_incremental_scan,
-    # per-unit bloom filters: point-lookup file skipping where min/max
-    # bounds cannot prune (uniformly striped ids)
-    "iceberg_bloom_lookup": QQ.q_iceberg_bloom_lookup,
-    # privacy-grade curation: suppress rows whose quasi-identifier
-    # combination is shared by < k documents
-    "curation_k_anonymity": CU.k_anonymity_filter,
-    # SCD2 validity intervals from a change stream (table-maintenance
-    # form: iceberglite.scd2_upsert)
-    "window_scd2": QQ.q_window_scd2,
-    # exact-k-per-stratum deterministic draw (salted md5 ranking) — the
-    # size-guaranteed complement of fraction-based sample_stratified
-    "sample_exact_k": CU.sample_exact_k,
-    # Okapi BM25 term-set retrieval — topical-slice pulls for curation
-    "text_bm25_topk": TS.bm25_topk,
-}
-
-R07_PENDING_ORACLE = {
+    # r06 staged pool oracles, registered with their queries in r07
     "dedup_substring_spans": DD.sql_substring_dup_spans(),
     "dedup_substring_scrub": DD.sql_substring_scrub_stats(),
     "dedup_substring_scrub_text": DD.sql_substring_scrub_text(),
@@ -415,6 +411,40 @@ R07_PENDING_ORACLE = {
     "window_scd2": QQ.SQL_WINDOW_SCD2,
     "sample_exact_k": CU.sql_sample_exact_k(),
     "text_bm25_topk": TS.sql_bm25_topk(),
+}
+
+
+# --- staged pool for the NEXT round's rotation ------------------------------
+# Queries written after the current round's WINDOW froze. They are NOT
+# registered (a registered query needs a WINDOW seat in the round it is
+# written — CLAUDE.md invariant; the r03–r05 registered-but-unchecked
+# pools were dinged three rounds running). Every entry must be
+# DuckDB-oracled and clear the driver's toPandas+hash canon path NOW
+# (tests/test_pending.py), so the next rotation is a mechanical two-dict
+# move into TRAINING_QUERIES/_ORACLE + the WINDOW, not new verification
+# work. The r06 instance of this pool (9 queries) registered in r07.
+PENDING_QUERIES: dict = {
+    # driver witness for the pytest-only maintenance semantics (VERDICT
+    # r06 item 6): scripted append/compact/rollback/WAP lifecycle →
+    # snapshots metadata table vs its literal expected history
+    "iceberg_metadata_snapshots": QQ.q_iceberg_metadata_snapshots,
+    # r07 training-pipeline additions: interpolated bigram LM scoring
+    # (the KenLM-direction upgrade of text_unigram_logprob), corpus
+    # Zipf-fit diagnostic (also covers the regr_* aggregate family),
+    # edit-distance verification of shingle near-dup candidates, and
+    # the C4/Gopher-style per-domain document cap
+    "text_bigram_logprob": TS.bigram_logprob,
+    "text_zipf_slope": TS.zipf_slope,
+    "dedup_edit_verify": DD.edit_verify_pairs,
+    "curation_domain_cap": CU.domain_cap,
+}
+
+PENDING_ORACLE: dict[str, str] = {
+    "iceberg_metadata_snapshots": QQ.SQL_ICEBERG_METADATA_SNAPSHOTS,
+    "text_bigram_logprob": TS.sql_bigram_logprob(),
+    "text_zipf_slope": TS.sql_zipf_slope(),
+    "dedup_edit_verify": DD.sql_edit_verify_pairs(),
+    "curation_domain_cap": CU.sql_domain_cap(),
 }
 
 
@@ -430,43 +460,42 @@ R07_PENDING_ORACLE = {
 # tests/test_registry.py).
 DRIVER_WINDOW = 50
 
-# r06 rotation accounting (VERDICT r05 item 1 — close the append debt in
-# one round): the window takes ALL 21 never-driver-checked queries (the 15
-# r05 training-pipeline late additions + 6 relational stragglers), the 3
-# new-in-r06 queries (kg_triple_metrics, graph_degrees_lsh,
-# graph_pagerank_lsh), and the 26 queries whose last driver row is r02 —
-# the oldest stamps in the registry (set/string/date/math/array/json/map
-# funcs, explode, pivot, grouping sets, scalar subquery, conditionals,
-# sort_nulls, salted agg+join, asof_agg, tumbling batch, snapshot scan,
-# udtf, approx_distinct, sample_frac). 21 + 3 + 26 = 50 exactly. Rotated
-# OUT (all r05-green, stamp age 1, re-window due by r09): the whole
-# ANALYTICS section (30), the 7 r05-green kg_* chain queries, and the 13
-# r05 relational slots.
+# r07 rotation accounting (computed by propose_next_window from the
+# committed CORRECTNESS files — VERDICT r06 item 2): 9 mandatory seats
+# for the r06 staged pool registering this round (first driver rows), 18
+# mandatory stamp-age seats (12 queries last checked r03 + 6 last checked
+# r04 — their stamps expire when CORRECTNESS_r07 lands), and 23 fillers
+# oldest-stamp-first (the r04-stamped percentile/asof/filter/higher-order
+# slots and the r05-stamped dedup/ANN/curation analytics block).
+# 9 + 18 + 23 = 50 exactly. Rotated OUT (all r05/r06-green, stamp age
+# ≤ 2): kg_triple_metrics + the r06 training-pipeline block, the r06
+# relational re-stamps, and the kg_* chain queries.
 WINDOW = [
-    # flagship metric first: the driver row that shows P=R=F1=1.0 vs the
-    # committed reference goldens
-    "kg_triple_metrics",
-    # r05 training-pipeline pool — first driver rows (18 oracled)
-    "text_repetition", "text_unigram_logprob", "text_pii_scrub",
-    "text_length_histogram", "text_ngram_topk",
-    "curation_quality_filter", "curation_score_normalize",
-    "curation_mixture_sample", "curation_contamination", "curation_split",
-    "pack_manifest", "dedup_clusters_incremental",
-    "graph_degrees", "graph_pagerank", "kg_entity_pagerank",
-    # new-in-r06 LSH-edge-base graph analytics (rows-only)
-    "graph_degrees_lsh", "graph_pagerank_lsh",
-    # r05 relational stragglers — first driver rows
-    "agg_stats_funcs", "stream_interval_join_batch", "iceberg_cluster_scan",
-    "join_lateral", "window_first_last", "iceberg_zorder_scan",
-    # stamp-age refresh: last driver-checked in r02
-    "set_union_all", "set_intersect", "set_except", "distinct_rows",
-    "string_funcs", "date_funcs", "math_funcs", "array_funcs",
-    "json_funcs", "explode_array", "pivot_event_type",
-    "set_union_distinct", "window_range_interval", "agg_grouping_sets",
-    "map_funcs", "subquery_scalar", "conditional_funcs", "sort_nulls",
-    "agg_salted_skew", "join_asof_agg", "stream_tumbling_batch",
-    "join_salted", "iceberg_snapshot_scan", "udtf_word_pos",
-    "agg_approx_distinct", "sample_frac",
+    # r06 staged pool — registering this round, first driver rows
+    "dedup_substring_spans", "dedup_substring_scrub",
+    "dedup_substring_scrub_text",
+    "iceberg_incremental_scan", "iceberg_bloom_lookup",
+    "curation_k_anonymity", "window_scd2", "sample_exact_k",
+    "text_bm25_topk",
+    # stamp-age refresh: last driver-checked in r03
+    "agg_count_distinct", "agg_cube", "agg_group_multi", "agg_rollup",
+    "join_full", "join_left", "join_semi", "sort_limit",
+    "window_frame_sum", "window_lag_lead", "window_rank",
+    "window_topk_per_group",
+    # stamp-age refresh: last driver-checked in r04
+    "join_anti", "join_broadcast", "join_shuffledhash", "join_sortmerge",
+    "join_theta", "stream_sliding_batch",
+    # fillers, oldest-stamp-first (r04 stamps...)
+    "agg_approx_percentile", "agg_exact_percentile", "filter_pushdown",
+    "higher_order_funcs", "join_asof",
+    # (...then r05 stamps: the dedup/similarity/curation analytics block)
+    "ann_topk_bruteforce", "ann_topk_ivf", "ann_topk_lsh",
+    "curation_select", "curation_select_sketch",
+    "dedup_clusters", "dedup_embedding_clusters", "dedup_embedding_cosine",
+    "dedup_exact", "dedup_keep_best", "dedup_minhash_incremental",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_winnow_pairs", "emb_label_centroids", "grouped_map_sessionize",
+    "iceberg_stats_skipping",
 ]
 
 
@@ -477,8 +506,13 @@ def all_queries() -> dict:
     base.update(RELATIONAL_QUERIES)
     base.update(TRAINING_QUERIES)
     missing = [n for n in WINDOW if n not in base]
-    assert not missing, f"WINDOW names not registered: {missing}"
-    assert len(WINDOW) == DRIVER_WINDOW, len(WINDOW)
+    # explicit raises, not assert: these guard the driver's hash-checked
+    # prefix and must survive `python -O` (ADVICE r06 low)
+    if missing:
+        raise ValueError(f"WINDOW names not registered: {missing}")
+    if len(WINDOW) != DRIVER_WINDOW:
+        raise ValueError(
+            f"WINDOW has {len(WINDOW)} seats, expected {DRIVER_WINDOW}")
     out = {name: base[name] for name in WINDOW}
     out.update((k, v) for k, v in base.items() if k not in out)
     return out
@@ -505,7 +539,7 @@ def propose_next_window(repo_root: str | None = None) -> dict:
     """Mechanize the next round's rotation (VERDICT r05 item 4 carried
     one step further): from the committed CORRECTNESS files plus this
     round's WINDOW (which becomes the next CORRECTNESS file), compute
-    who MUST sit in the next window — the staged R07_PENDING pool (a
+    who MUST sit in the next window — the staged PENDING pool (a
     query registers only with a same-round seat) and every query whose
     newest driver stamp will fall out of the 3-round freshness rule —
     then fill the remaining seats oldest-stamp-first. Returns the seat
@@ -522,15 +556,25 @@ def propose_next_window(repo_root: str | None = None) -> dict:
         rnd = int(re.search(r"_r0*(\d+)\.json$", f).group(1))
         with open(f) as fh:
             rounds[rnd] = set(json.load(fh))
-    this_round = max(rounds) + 1
-    rounds[this_round] = set(WINDOW)  # this window becomes a stamp file
+    # The current WINDOW becomes a stamp file — but only synthesize that
+    # future round if the driver has NOT already committed it. Once
+    # CORRECTNESS_r{max}.json == set(WINDOW) is on disk (the normal state
+    # at the start of a round), stamping it again would double-advance
+    # the clock and balloon the expiring set (ADVICE r06 high: planned
+    # round 8 instead of 7, 77 mandatory seats, planner unusable exactly
+    # when the rotation needed it).
+    if rounds[max(rounds)] == set(WINDOW):
+        this_round = max(rounds)
+    else:
+        this_round = max(rounds) + 1
+        rounds[this_round] = set(WINDOW)
     next_round = this_round + 1
     last: dict[str, int] = {}
     for rnd, names in rounds.items():
         for n in names:
             last[n] = max(last.get(n, 0), rnd)
     registered = set(all_queries())
-    pending = list(R07_PENDING_QUERIES)
+    pending = list(PENDING_QUERIES)
     expiring = sorted(q for q in registered
                       if last.get(q, 0) <= next_round - 3)
     mandatory = pending + expiring

@@ -1052,7 +1052,8 @@ def metadata_table(spark: SparkSession, root: str, kind: str) -> DataFrame:
     owes its operators. All three are built from the manifest (plus
     parquet footers for row counts), never by scanning data:
 
-    - ``snapshots``: id, parent, operation, ts, tag, n_units, n_added
+    - ``snapshots``: id, parent, operation, ts, tag, n_units, n_added,
+      staged (WAP-staged, not yet published), is_current
     - ``files``: current snapshot's data files — unit, partition (JSON
       string, scalar-celled for the driver canon), file name,
       size_bytes, row_count
@@ -1066,11 +1067,13 @@ def metadata_table(spark: SparkSession, root: str, kind: str) -> DataFrame:
     if kind == "snapshots":
         rows = [(s["id"], s.get("parent"), s.get("operation", "append"),
                  s.get("ts"), s.get("tag"),
-                 len(s.get("units", [])), len(s.get("added", [])))
+                 len(s.get("units", [])), len(s.get("added", [])),
+                 bool(s.get("staged")), s["id"] == m["current_snapshot"])
                 for s in m["snapshots"]]
         return spark.createDataFrame(
             rows, "id int, parent int, operation string, ts string,"
-                  " tag string, n_units int, n_added int")
+                  " tag string, n_units int, n_added int,"
+                  " staged boolean, is_current boolean")
     if kind in ("files", "partitions"):
         import pyarrow.parquet as pq
 

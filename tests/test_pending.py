@@ -1,10 +1,11 @@
-"""r06-late-addition staging gate (tests/test_registry.py's disciplines,
-applied one round early): the R07_PENDING pool is NOT registered (the r06
-window is exactly full — registering would recreate the unchecked-pool
-pattern VERDICT r03–r05 dinged), but every pending query must already
-clear the full driver contract locally — DuckDB-oracle parity at sf0.001
-AND the driver's toPandas+hash canon path — so the r07 rotation is a
-mechanical two-dict move, not new verification work."""
+"""Staged-pool gate (tests/test_registry.py's disciplines, applied one
+round early): the PENDING pool is NOT registered (the current window is
+full — registering would recreate the unchecked-pool pattern VERDICT
+r03–r05 dinged), but every pending query must already clear the full
+driver contract locally — DuckDB-oracle parity at sf0.001 AND the
+driver's toPandas+hash canon path — so the next rotation is a mechanical
+two-dict move, not new verification work. The r06 instance of this pool
+(9 queries) registered in r07 via exactly this mechanism."""
 
 import pytest
 
@@ -23,26 +24,27 @@ def test_pending_pool_is_staged_not_registered():
     """Staging discipline: pending names must be absent from
     all_queries() (a registered query needs a WINDOW seat in the round it
     is written — CLAUDE.md invariant) and every pending query must carry
-    an oracle, so nothing enters r07 rows-only that could be hash-checked."""
+    an oracle, so nothing enters the next round rows-only that could be
+    hash-checked."""
     registered = set(registry.all_queries())
-    assert not set(registry.R07_PENDING_QUERIES) & registered
-    assert set(registry.R07_PENDING_ORACLE) == set(registry.R07_PENDING_QUERIES)
+    assert not set(registry.PENDING_QUERIES) & registered
+    assert set(registry.PENDING_ORACLE) == set(registry.PENDING_QUERIES)
 
 
-@pytest.mark.parametrize("name", sorted(registry.R07_PENDING_QUERIES))
+@pytest.mark.parametrize("name", sorted(registry.PENDING_QUERIES))
 def test_pending_matches_oracle(spark, con, name):
     assert_matches_oracle(
-        name, registry.R07_PENDING_QUERIES[name](spark, SF001), con,
-        registry.R07_PENDING_ORACLE[name])
+        name, registry.PENDING_QUERIES[name](spark, SF001), con,
+        registry.PENDING_ORACLE[name])
 
 
-@pytest.mark.parametrize("name", sorted(registry.R07_PENDING_QUERIES))
+@pytest.mark.parametrize("name", sorted(registry.PENDING_QUERIES))
 def test_pending_canon_hashable(spark, name):
     """The driver canonicalizes windowed results via per-row tuple
     hashing; any list/dict/ndarray cell is a hard driver ERROR (the r03
     mm_media_features failure) — pin hashability BEFORE these enter the
-    r07 window."""
-    pdf = registry.R07_PENDING_QUERIES[name](spark, SF001).limit(20).toPandas()
+    next window."""
+    pdf = registry.PENDING_QUERIES[name](spark, SF001).limit(20).toPandas()
     cols, hashes = driver_canon(pdf)
     assert len(cols) > 0
 
@@ -119,13 +121,16 @@ def test_scrub_stats_consistent_with_scrub_text(spark):
 def test_propose_next_window_accounting():
     """The rotation planner must produce a full, duplicate-free window
     that seats every pending query and every stamp about to expire —
-    the computation the r07 session copies into WINDOW verbatim."""
+    the computation each rotation session copies into WINDOW verbatim.
+    Must hold BOTH before and after the round's CORRECTNESS artifact is
+    committed (the r06 form double-advanced the clock once the artifact
+    landed — ADVICE r06 high)."""
     from joint_entity_and_relation_extraction_spark.plans import registry
 
     p = registry.propose_next_window()
     assert len(p["proposal"]) == registry.DRIVER_WINDOW
     assert len(set(p["proposal"])) == registry.DRIVER_WINDOW
-    assert set(registry.R07_PENDING_QUERIES) <= set(p["proposal"])
+    assert set(registry.PENDING_QUERIES) <= set(p["proposal"])
     assert set(p["expiring"]) <= set(p["proposal"])
     # expiring ⊆ registered, pending ∩ registered = ∅
     assert set(p["expiring"]) <= set(registry.all_queries())

@@ -264,3 +264,68 @@ def test_substring_dedup_plan_is_partial_agg_semi_join(spark):
     src = inspect.getsource(DD.substring_dup_spans) + \
         inspect.getsource(DD._gram_positions)
     assert "F.broadcast(" not in src and ".hint(" not in src
+
+
+def test_pagerank_iteration_reads_checkpointed_working_set(spark):
+    """VERDICT r06 #3 plan gate: the `edges ⋈ deg` working set must be
+    MATERIALIZED before the power iterations (eager localCheckpoint), so
+    each iteration's executed plan reads opaque ExistingRDD blocks — the
+    r06 persist/unpersist pair unpersisted before any action, the cache
+    never existed, and every iteration silently re-ran the degree join.
+    The iteration plan must show the checkpoint scan and must NOT contain
+    the degree-join aggregation (partial_count over src) it replaced."""
+    from pyspark.sql import functions as F
+
+    from joint_entity_and_relation_extraction_spark.operators import graph as G
+
+    pairs = spark.createDataFrame(
+        [("a", "b", 0.5), ("b", "c", 0.4), ("c", "a", 0.3)],
+        "d1 string, d2 string, jaccard double")
+    out = G.pagerank_edges(G._sym_edges(pairs), iters=3)
+    p = plan_str(out, execute=True)
+    assert "Scan ExistingRDD" in p
+    # the degree join is BELOW the checkpoint, so its count aggregation
+    # must be absent from the executed iteration plan entirely — the
+    # only aggregations left are the per-iteration groupBy("id") sums
+    assert "partial_count" not in p
+    rows = {r.id: r.pagerank for r in out.collect()}
+    assert set(rows) == {"a", "b", "c"}
+    # ranks are rounded to 6 decimals, so the simplex sum carries up to
+    # n_nodes * 5e-7 of rounding slack
+    assert abs(sum(rows.values()) - 1.0) < 1e-5
+
+
+def test_edit_verify_plan_is_bounded_equi_join(spark):
+    """r07 edit-distance verify: candidates from the df-capped shingle
+    equi-join, verification via the JVM levenshtein built-in — no
+    cartesian/nested-loop anywhere and zero Python stages."""
+    from joint_entity_and_relation_extraction_spark.operators import dedup as DD
+
+    p = plan_str(DD.edit_verify_pairs(spark, SF001))
+    assert "Cartesian" not in p and "NestedLoop" not in p
+    assert "levenshtein" in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_domain_cap_single_exchange_window(spark):
+    """r07 per-domain cap: the top-k-per-group must plan as ONE hash
+    exchange on the domain key feeding the rank window — URL parsing is
+    map-side, no joins, no extra shuffle."""
+    from joint_entity_and_relation_extraction_spark.operators import curation as CU
+
+    p = plan_str(CU.domain_cap(spark, SF001))
+    assert p.count("Exchange") == 1, p[:1500]
+    assert "Window" in p
+
+
+def test_bigram_logprob_stays_jvm_side(spark):
+    """r07 bigram LM: bigrams are built in-row (zip_with/slice), the LM
+    joins are equi-joins — no Python stages, no cartesian (the corpus
+    total's single-row broadcast cross join is the one sanctioned
+    BroadcastNestedLoopJoin, same as unigram_logprob)."""
+    from joint_entity_and_relation_extraction_spark.operators import textstats as TS
+
+    p = plan_str(TS.bigram_logprob(spark, SF001))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "zip_with" in p
+    assert "CartesianProduct" not in p
