@@ -161,6 +161,8 @@ BENCH_QUERIES = [
     # edit verify stacks a bounded-cost levenshtein on the candidate
     # join — both worth a per-round series at sf0.1
     "text_bigram_logprob", "dedup_edit_verify",
+    # r07: the 6-table composite join — the optimizer-integration series
+    "tpch_q5",
 ]
 
 

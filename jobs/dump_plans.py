@@ -43,6 +43,10 @@ SHOW = [
     "dedup_edit_verify",      # candidate equi-join + JVM levenshtein verify
     "curation_domain_cap",    # map-side URL parse, one-exchange top-k window
     "text_bm25_topk",         # term-filtered tf, broadcast corpus scalars
+    "tpch_q3",                # pushdown below 3-way join + TakeOrdered top-10
+    "tpch_q5",                # 6-table join, broadcast dim chain
+    "funnel_steps",           # chained per-user conditional aggs, 1 shuffle key
+    "graph_triangles",        # oriented-edge wedge equi-join
 ]
 
 

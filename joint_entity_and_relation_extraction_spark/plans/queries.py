@@ -1914,3 +1914,224 @@ RELATIONAL_ORACLE = {
     # vs exact SQL) → driver rows-only check (bounded pytest checks in
     # tests/test_relational_parity.py)
 }
+
+
+# --- composite TPC-H-style witnesses (r07, staged for r08) -------------------
+# The relational corpus covers every operator SHAPE individually; these
+# three classic queries compose them (multi-way joins + grouped money
+# aggregates + top-k) into end-to-end plans the optimizer must get right
+# as a whole — pushdown below a 6-table join, broadcast of the dim chain,
+# partial aggregation above the join. Revenue arithmetic stays in
+# DECIMAL end-to-end (the corpus prices/discounts are 2dp-exact), so the
+# double result is bit-identical across engines regardless of sum order.
+
+def _dec2(col: str):
+    return F.col(col).cast("decimal(18,2)")
+
+
+def q_tpch_q1(spark, sf):
+    """TPC-H Q1 (pricing summary report): one wide grouped aggregate
+    over the fact table with derived decimal expressions — the canonical
+    map-side-combinable scan-heavy aggregation."""
+    li = read_table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02"))
+    disc_price = _dec2("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
+                                             - _dec2("l_discount"))
+    charge = disc_price * (F.lit(1).cast("decimal(18,2)")
+                           + _dec2("l_tax"))
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(_dec2("l_quantity")).cast("double").alias("sum_qty"),
+                 F.sum(_dec2("l_extendedprice")).cast("double")
+                 .alias("sum_base_price"),
+                 F.sum(disc_price).cast("double").alias("sum_disc_price"),
+                 F.sum(charge).cast("double").alias("sum_charge"),
+                 # avg as exact-sum / count in DOUBLE: Spark's
+                 # AVG(decimal) result scale (6) differs from DuckDB's
+                 # full-precision double average — dividing the exact
+                 # decimal sum by the count gives the identical double
+                 # on both engines
+                 (F.sum(_dec2("l_quantity")).cast("double")
+                  / F.count("*")).alias("avg_qty"),
+                 F.count("*").alias("count_order")))
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2))))
+            AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+         AS avg_qty,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3(spark, sf):
+    """TPC-H Q3 (shipping-priority top-10): segment-filtered 3-way join
+    with a grouped revenue aggregate and a deterministic top-k — the
+    filter must reach both parquet scans (plan-gated), the customer dim
+    broadcasts, and the top-k plans as TakeOrderedAndProject."""
+    c = read_table(spark, sf, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = read_table(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15"))
+    li = read_table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15"))
+    rev = _dec2("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
+                                      - _dec2("l_discount"))
+    return (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(c, o["o_custkey"] == c["c_custkey"])
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.sum(rev).cast("double").alias("revenue"))
+            .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+            .limit(10))
+
+
+SQL_TPCH_Q3 = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < '1995-03-15'
+  AND l_shipdate > '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+def q_tpch_q5(spark, sf):
+    """TPC-H Q5 (local-supplier revenue by nation): the 6-table join —
+    region → nation → (customer, supplier) → orders → lineitem with the
+    customer and supplier required to share a nation. The whole dim
+    chain (region/nation/customer/supplier) is broadcast-sized at any
+    SF; only orders ⋈ lineitem shuffles. Date window widened vs spec so
+    the synthetic corpus keeps every nation populated."""
+    r = read_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n = read_table(spark, sf, "nation")
+    c = read_table(spark, sf, "customer")
+    s = read_table(spark, sf, "supplier")
+    o = read_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1994-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01")))
+    li = read_table(spark, sf, "lineitem")
+    rev = _dec2("l_extendedprice") * (F.lit(1).cast("decimal(18,2)")
+                                      - _dec2("l_discount"))
+    return (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(c, o["o_custkey"] == c["c_custkey"])
+            .join(s, (li["l_suppkey"] == s["s_suppkey"])
+                  & (c["c_nationkey"] == s["s_nationkey"]))
+            .join(n, s["s_nationkey"] == n["n_nationkey"])
+            .join(r, n["n_regionkey"] == r["r_regionkey"])
+            .groupBy("n_name")
+            .agg(F.sum(rev).cast("double").alias("revenue"))
+            .orderBy(F.col("revenue").desc(), "n_name"))
+
+
+SQL_TPCH_Q5 = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= '1994-01-01' AND o_orderdate < '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def q_funnel_steps(spark, sf):
+    """Ordered conversion funnel over the event stream (r07, staged for
+    r08): view → click-after-view → purchase-after-that-click, counting
+    users who reach each step in ORDER (a click before the first view
+    does not count) — the product-analytics query every event pipeline
+    owes its users. Three conditional per-user aggregates chained by
+    time: t1 = first view, t2 = first click ≥ t1, t3 = first purchase
+    ≥ t2; step counts are the non-null tallies.
+
+    Scale shape: ONE shuffle — everything is per-user conditional
+    aggregation (min over CASE), so the events stream is hashed by
+    user_id once and each step derives map-side; the step→count unpivot
+    at the end is driver-bounded (3 rows)."""
+    e = read_table(spark, sf, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+        .alias("t1"))
+    per_user = (e.join(per_user, "user_id")
+                .groupBy("user_id")
+                .agg(F.min("t1").alias("t1"),
+                     F.min(F.when((F.col("event_type") == "click")
+                                  & (F.col("ts") >= F.col("t1")),
+                                  F.col("ts"))).alias("t2")))
+    per_user = (e.join(per_user, "user_id")
+                .groupBy("user_id")
+                .agg(F.min("t1").alias("t1"), F.min("t2").alias("t2"),
+                     F.min(F.when((F.col("event_type") == "purchase")
+                                  & (F.col("ts") >= F.col("t2")),
+                                  F.col("ts"))).alias("t3")))
+    counts = per_user.agg(
+        F.count("t1").cast("bigint").alias("n_view"),
+        F.count("t2").cast("bigint").alias("n_click_after_view"),
+        F.count("t3").cast("bigint").alias("n_purchase_after_click"))
+    steps = F.array(
+        F.struct(F.lit(1).alias("step"), F.lit("view").alias("name"),
+                 F.col("n_view").alias("n_users")),
+        F.struct(F.lit(2).alias("step"), F.lit("click_after_view").alias("name"),
+                 F.col("n_click_after_view").alias("n_users")),
+        F.struct(F.lit(3).alias("step"), F.lit("purchase_after_click").alias("name"),
+                 F.col("n_purchase_after_click").alias("n_users")))
+    return (counts.select(F.explode(steps).alias("s"))
+            .select(F.col("s.step").alias("step"),
+                    F.col("s.name").alias("name"),
+                    F.col("s.n_users").alias("n_users")))
+
+
+SQL_FUNNEL_STEPS = """
+WITH s1 AS (
+  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+  FROM events GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(s1.t1) AS t1,
+         MIN(CASE WHEN e.event_type = 'click' AND e.ts >= s1.t1
+                  THEN e.ts END) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(s2.t1) AS t1, MIN(s2.t2) AS t2,
+         MIN(CASE WHEN e.event_type = 'purchase' AND e.ts >= s2.t2
+                  THEN e.ts END) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  GROUP BY e.user_id
+),
+c AS (SELECT CAST(COUNT(t1) AS BIGINT) AS n_view,
+             CAST(COUNT(t2) AS BIGINT) AS n_click,
+             CAST(COUNT(t3) AS BIGINT) AS n_purchase
+      FROM s3)
+SELECT 1 AS step, 'view' AS name, n_view AS n_users FROM c
+UNION ALL
+SELECT 2, 'click_after_view', n_click FROM c
+UNION ALL
+SELECT 3, 'purchase_after_click', n_purchase FROM c
+"""

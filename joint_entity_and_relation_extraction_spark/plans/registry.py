@@ -437,6 +437,19 @@ PENDING_QUERIES: dict = {
     "text_zipf_slope": TS.zipf_slope,
     "dedup_edit_verify": DD.edit_verify_pairs,
     "curation_domain_cap": CU.domain_cap,
+    # composite TPC-H-style witnesses: classic multi-join + grouped
+    # decimal-money aggregates + deterministic top-k, end-to-end plans
+    # the optimizer must get right as a whole (pushdown below the join,
+    # broadcast dim chain, partial agg above)
+    "tpch_q1": QQ.q_tpch_q1,
+    "tpch_q3": QQ.q_tpch_q3,
+    "tpch_q5": QQ.q_tpch_q5,
+    # ordered conversion funnel over the event stream (single shuffle:
+    # chained conditional per-user aggregates)
+    "funnel_steps": QQ.q_funnel_steps,
+    # per-node triangle counts of the near-dup graph (oriented-edge
+    # wedge join — clique-vs-chain cohesion diagnostic)
+    "graph_triangles": GR.graph_triangles,
 }
 
 PENDING_ORACLE: dict[str, str] = {
@@ -445,6 +458,11 @@ PENDING_ORACLE: dict[str, str] = {
     "text_zipf_slope": TS.sql_zipf_slope(),
     "dedup_edit_verify": DD.sql_edit_verify_pairs(),
     "curation_domain_cap": CU.sql_domain_cap(),
+    "tpch_q1": QQ.SQL_TPCH_Q1,
+    "tpch_q3": QQ.SQL_TPCH_Q3,
+    "tpch_q5": QQ.SQL_TPCH_Q5,
+    "funnel_steps": QQ.SQL_FUNNEL_STEPS,
+    "graph_triangles": GR.sql_graph_triangles(),
 }
 
 

@@ -329,3 +329,46 @@ def test_bigram_logprob_stays_jvm_side(spark):
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
     assert "zip_with" in p
     assert "CartesianProduct" not in p
+
+
+def test_tpch_q3_pushdown_broadcast_topk(spark):
+    """Composite-plan gate for the TPC-H-style witnesses: Q3's date/
+    segment filters must reach the parquet scans (below the joins), the
+    customer dim must broadcast, and the top-10 must plan as
+    TakeOrderedAndProject (no global sort)."""
+    p = plan_str(Q.q_tpch_q3(spark, SF001))
+    assert "PushedFilters:" in p
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+    assert "Cartesian" not in p
+
+
+def test_tpch_q5_dim_chain_broadcasts(spark):
+    """Q5's 6-table join: the whole region/nation/customer/supplier dim
+    chain broadcasts (4 broadcast joins) — only orders ⋈ lineitem may
+    shuffle. No nested loop anywhere."""
+    p = plan_str(Q.q_tpch_q5(spark, SF001))
+    assert p.count("BroadcastHashJoin") >= 3, p[:2000]
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+
+
+def test_funnel_single_user_shuffle_chain(spark):
+    """The funnel is chained per-user conditional aggregation — every
+    exchange must be on user_id (plus the final single-partition step);
+    no window sorts, no joins on anything but user_id."""
+    p = plan_str(Q.q_funnel_steps(spark, SF001))
+    assert "Cartesian" not in p and "NestedLoop" not in p
+    import re
+    ex_keys = re.findall(r"Exchange hashpartitioning\((\w+)", p)
+    assert ex_keys and all(k == "user_id" for k in ex_keys), ex_keys
+
+
+def test_graph_triangles_is_equi_join_plan(spark):
+    """Triangle enumeration must be the oriented-edge wedge plan: hash/
+    merge equi-joins over the checkpointed pair table (one ExistingRDD
+    source), never all-pairs."""
+    from joint_entity_and_relation_extraction_spark.operators import graph as G
+
+    p = plan_str(G.graph_triangles(spark, SF001))
+    assert "Cartesian" not in p and "NestedLoop" not in p
+    assert "Scan ExistingRDD" in p

