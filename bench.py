@@ -658,15 +658,19 @@ def main() -> None:
     # configuration (inference dedup on) on the MUTATED corpus, whose
     # distinct-sentence residue (~0.5) matches real Common Crawl — the
     # defensible number. Median of REPEATS (odd), all runs disclosed.
-    # Contention integrity (VERDICT r06 item 5): if every run of the set
-    # STARTS above HEADLINE_LOAD_MAX the window was uniformly contended
-    # (the median defends against bursts, not a permanently loaded
-    # window) — retry the whole set once in a later window and report
-    # the less-loaded set, disclosing both.
+    # Contention integrity (VERDICT r06 item 5): if the headline child
+    # STARTED in a loaded window (pre-session load1, captured before the
+    # JVM/warmup exist) the whole set was uniformly contended — retry
+    # once in a later window and report the less-loaded set, disclosing
+    # both. The signal is deliberately the PRE-SESSION load, not the
+    # per-run starts: a local[32] measurement saturates the box itself,
+    # so in-run load1 reads 20-30 from the bench's OWN work (measured:
+    # an idle-window headline shows run starts of 23-31 while its
+    # pre-session load is 4) — per-run loads remain disclosed for
+    # burst attribution, but they cannot flag window-level contention.
     def _min_start_load(res: dict) -> float | None:
-        starts = [rl[0] for rl in res.get("run_load1") or []
-                  if rl and rl[0] is not None]
-        return min(starts) if starts else None
+        l0 = (res.get("load1") or [None])[0]
+        return l0
 
     def _contended(res: dict) -> bool:
         m = _min_start_load(res)
@@ -742,9 +746,11 @@ still measured exactly once, in the first accepted window — window
 retry is precheck-driven, never gate-number shopping.
 
 Headline contention flag (r07): headline_contended =
-{headline_contended} (set when every run of the headline set starts
-above load1 {HEADLINE_LOAD_MAX}; a contended first set is retried once
-in a later window and both sets disclosed in the JSON artifact).
+{headline_contended} (set when the headline child's PRE-SESSION load1
+exceeds {HEADLINE_LOAD_MAX} — per-run loads are self-contaminated at
+local[{CPUS}] since the bench's own work saturates the box; a contended
+first set is retried once in a later window and both sets disclosed in
+the JSON artifact).
 
 Each scaling/attribution pair and the headline start only after a
 QUIET-WINDOW GUARD: the parent blocks (up to {QUIET_WAIT_SECS:.0f}s)
