@@ -2135,3 +2135,66 @@ SELECT 2, 'click_after_view', n_click FROM c
 UNION ALL
 SELECT 3, 'purchase_after_click', n_purchase FROM c
 """
+
+
+def q_agg_string_concat(spark, sf):
+    """Ordered string aggregation (r07, staged for r08) — LISTAGG /
+    STRING_AGG semantics, the one aggregate family the corpus didn't yet
+    cover. Determinism rule: collect_set + array_sort before the join,
+    so both engines emit the identical comma-joined string regardless of
+    aggregation order (a bare collect_list would hash-mismatch by
+    arrival order). Map-side combinable; the per-group distinct set is
+    bounded by the domain (order priorities), not the row count."""
+    o = read_table(spark, sf, "orders")
+    return (o.groupBy("o_orderstatus")
+            .agg(F.array_join(F.array_sort(F.collect_set("o_orderpriority")),
+                              ",").alias("priorities"),
+                 F.countDistinct("o_orderpriority").cast("bigint")
+                 .alias("n_priorities"),
+                 F.count("*").alias("n_orders")))
+
+
+SQL_AGG_STRING_CONCAT = """
+SELECT o_orderstatus,
+       STRING_AGG(DISTINCT o_orderpriority, ','
+                  ORDER BY o_orderpriority) AS priorities,
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def q_agg_median_mad(spark, sf):
+    """Robust per-group statistics (r07, staged for r08): exact MEDIAN
+    and MAD (median absolute deviation) of order totals per status — the
+    outlier-resistant pair quality dashboards prefer over mean/stddev on
+    heavy-tailed money columns. MAD needs the group median joined back
+    under the rows before a second median — two grouped sorts on the
+    same (low-cardinality) key; at corpus scale both are the standard
+    single-exchange percentile plans, and the join-back table is
+    group-count-sized (broadcast)."""
+    o = read_table(spark, sf, "orders").select("o_orderstatus",
+                                               "o_totalprice")
+    med = (o.groupBy("o_orderstatus")
+           .agg(F.median("o_totalprice").alias("med")))
+    return (o.join(F.broadcast(med), "o_orderstatus")
+            .select("o_orderstatus", "med",
+                    F.abs(F.col("o_totalprice") - F.col("med")).alias("ad"))
+            .groupBy("o_orderstatus")
+            .agg(F.round(F.min("med"), 6).alias("median_price"),
+                 F.round(F.median("ad"), 6).alias("mad_price"),
+                 F.count("*").alias("n_orders")))
+
+
+SQL_AGG_MEDIAN_MAD = """
+WITH med AS (
+  SELECT o_orderstatus, MEDIAN(o_totalprice) AS med
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o.o_orderstatus,
+       ROUND(MIN(med.med), 6) AS median_price,
+       ROUND(MEDIAN(ABS(o.o_totalprice - med.med)), 6) AS mad_price,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o JOIN med USING (o_orderstatus)
+GROUP BY o.o_orderstatus
+"""

@@ -450,6 +450,10 @@ PENDING_QUERIES: dict = {
     # per-node triangle counts of the near-dup graph (oriented-edge
     # wedge join — clique-vs-chain cohesion diagnostic)
     "graph_triangles": GR.graph_triangles,
+    # ordered string aggregation (LISTAGG family) and robust per-group
+    # stats (exact median + MAD)
+    "agg_string_concat": QQ.q_agg_string_concat,
+    "agg_median_mad": QQ.q_agg_median_mad,
 }
 
 PENDING_ORACLE: dict[str, str] = {
@@ -463,6 +467,8 @@ PENDING_ORACLE: dict[str, str] = {
     "tpch_q5": QQ.SQL_TPCH_Q5,
     "funnel_steps": QQ.SQL_FUNNEL_STEPS,
     "graph_triangles": GR.sql_graph_triangles(),
+    "agg_string_concat": QQ.SQL_AGG_STRING_CONCAT,
+    "agg_median_mad": QQ.SQL_AGG_MEDIAN_MAD,
 }
 
 

@@ -454,8 +454,13 @@ def partitions(root: str, snapshot: int | None = None) -> list[dict[str, str]]:
 def read(spark: SparkSession, root: str, snapshot: int | None = None,
          where: dict[str, object] | None = None,
          where_range: dict[str, tuple] | None = None,
-         where_point: dict[str, object] | None = None) -> DataFrame:
+         where_point: dict[str, object] | None = None,
+         as_of_ts: str | None = None) -> DataFrame:
     """SRC2: scan at a snapshot with manifest-side partition pruning.
+
+    ``as_of_ts`` is timestamp time-travel (Iceberg ``TIMESTAMP AS OF``):
+    the scan pins at :func:`resolve_as_of`'s snapshot. Mutually
+    exclusive with ``snapshot``.
 
     ``where`` maps partition column → value (or list of values); matching is
     done against the ``col=value`` path components BEFORE any Spark plan is
@@ -484,6 +489,10 @@ def read(spark: SparkSession, root: str, snapshot: int | None = None,
     has never been written (no snapshot, no schema) raises ValueError;
     probe with :func:`exists` / :func:`is_empty` first.
     """
+    if as_of_ts is not None and snapshot is not None:
+        raise ValueError("pass snapshot or as_of_ts, not both")
+    if as_of_ts is not None:
+        snapshot = resolve_as_of(root, as_of_ts)
     m = _load(root)
     snap = snapshot if snapshot is not None else m["current_snapshot"]
     units = _units_at(m, snap)
@@ -1044,6 +1053,34 @@ def expire_snapshots(root: str, keep_last: int = 1,
 
 def exists(root: str) -> bool:
     return current_snapshot(root) is not None
+
+
+def is_empty(root: str) -> bool:
+    """Manifest-only emptiness probe: True when the current snapshot
+    holds no units (e.g. after drop_partitions removed everything).
+    Raises KeyError/ValueError semantics of _load for a missing table —
+    probe with :func:`exists` first."""
+    m = _load(root)
+    return not _units_at(m, m["current_snapshot"])
+
+
+def resolve_as_of(root: str, ts: str) -> int:
+    """Timestamp time-travel resolution (Iceberg ``TIMESTAMP AS OF``):
+    the NEWEST snapshot whose commit ``ts`` (ISO-8601 second precision,
+    lexicographically ordered) is at or before the given timestamp.
+    Staged (unpublished WAP) snapshots never resolve — they were never
+    the table state. Raises if the timestamp predates the first commit."""
+    m = _load(root)
+    best = None
+    for s in m["snapshots"]:
+        if s.get("staged"):
+            continue
+        if s.get("ts") is not None and s["ts"] <= ts:
+            if best is None or s["id"] > best:
+                best = s["id"]
+    if best is None:
+        raise ValueError(f"no snapshot at or before {ts!r} in {root}")
+    return best
 
 
 def metadata_table(spark: SparkSession, root: str, kind: str) -> DataFrame:

@@ -771,3 +771,39 @@ def test_partition_evolution_mixed_layouts_read_back(spark, tbl):
     # their paths so they always survive (pruning never loses rows)
     assert ("a", 1) in vals and ("b", 2) not in vals
     assert {("c", 3), ("d", 4)} <= vals
+
+
+def test_read_as_of_timestamp(spark, tbl):
+    """Timestamp time-travel (Iceberg TIMESTAMP AS OF): read resolves
+    the newest snapshot committed at-or-before the given wall-clock
+    string; a timestamp before the first commit raises, one far in the
+    future reads the current state."""
+    s1 = il.append(_df(spark, [("a", 1)]), tbl, ["k"])
+    ts1 = next(s["ts"] for s in il.snapshots(tbl) if s["id"] == s1)
+    il.append(_df(spark, [("b", 2)]), tbl, ["k"])
+    # at exactly ts1 the second snapshot may share the same second —
+    # resolve_as_of picks the NEWEST snapshot with ts <= given, so probe
+    # with the recorded ts strings themselves
+    sid = il.resolve_as_of(tbl, ts1)
+    assert sid >= s1
+    rows_at_1 = il.read(spark, tbl, snapshot=s1).count()
+    assert rows_at_1 == 1
+    assert il.read(spark, tbl, as_of_ts="2999-01-01T00:00:00").count() == 2
+    got = il.read(spark, tbl, as_of_ts=ts1)
+    # same-second commits collapse to the newer snapshot by design
+    assert got.count() in (1, 2)
+    with pytest.raises(ValueError, match="no snapshot at or before"):
+        il.read(spark, tbl, as_of_ts="1990-01-01T00:00:00")
+    with pytest.raises(ValueError, match="both"):
+        il.read(spark, tbl, snapshot=s1, as_of_ts=ts1)
+
+
+def test_is_empty_probe(spark, tbl):
+    """is_empty: manifest-only emptiness probe — True for a written
+    table whose current snapshot holds no units, False once any unit is
+    live; a never-written table raises via read()'s contract instead."""
+    assert not il.exists(tbl)
+    il.append(_df(spark, [("a", 1)]), tbl, ["k"])
+    assert il.exists(tbl) and not il.is_empty(tbl)
+    il.drop_partitions(tbl, {"k": "a"})
+    assert il.is_empty(tbl)
