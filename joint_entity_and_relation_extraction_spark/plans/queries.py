@@ -2198,3 +2198,45 @@ SELECT o.o_orderstatus,
 FROM orders o JOIN med USING (o_orderstatus)
 GROUP BY o.o_orderstatus
 """
+
+
+def q_json_variant(spark, sf):
+    """VARIANT-type semi-structured access (r07, staged for r08) — the
+    Spark 4 answer to schemaless JSON columns: parse once into the
+    binary VARIANT encoding, then typed path extraction without a
+    per-query schema. The witness splices a heterogeneous variant of
+    the events ``props`` into odd rows (string-typed k plus an array —
+    the shape drift VARIANT exists for; same expression both engines,
+    the pii_scrub precedent), then extracts k as string (uniform over
+    int/string payloads) and the array head as int (NULL where absent,
+    via try_variant_get). Output stays scalar for the driver canon.
+
+    Scale shape: map-only — parse_json + variant_get are codegen'd
+    expressions; no shuffle, no Python."""
+    e = read_table(spark, sf, "events").select("event_id", "props")
+    props2 = F.when(
+        F.col("event_id") % 2 == 1,
+        F.concat(F.lit('{"k": "s'),
+                 (F.col("event_id") % 100).cast("string"),
+                 F.lit('", "extra": [7, 8]}')),
+    ).otherwise(F.col("props"))
+    v = F.parse_json(props2)
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+        F.try_variant_get(v, "$.extra[0]", "int").alias("extra0"),
+        F.try_variant_get(v, "$.missing", "string").alias("missing_val"))
+
+
+SQL_JSON_VARIANT = """
+SELECT event_id,
+       CASE WHEN event_id % 2 = 1
+            THEN json_extract_string(
+                   '{"k": "s' || CAST(event_id % 100 AS VARCHAR)
+                   || '", "extra": [7, 8]}', '$.k')
+            ELSE json_extract_string(props, '$.k') END AS k_str,
+       CASE WHEN event_id % 2 = 1 THEN CAST(7 AS INT)
+            ELSE CAST(NULL AS INT) END AS extra0,
+       CAST(NULL AS VARCHAR) AS missing_val
+FROM events
+"""

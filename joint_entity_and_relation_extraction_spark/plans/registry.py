@@ -454,6 +454,8 @@ PENDING_QUERIES: dict = {
     # stats (exact median + MAD)
     "agg_string_concat": QQ.q_agg_string_concat,
     "agg_median_mad": QQ.q_agg_median_mad,
+    # Spark 4 VARIANT semi-structured access (parse once, typed paths)
+    "json_variant": QQ.q_json_variant,
 }
 
 PENDING_ORACLE: dict[str, str] = {
@@ -469,6 +471,7 @@ PENDING_ORACLE: dict[str, str] = {
     "graph_triangles": GR.sql_graph_triangles(),
     "agg_string_concat": QQ.SQL_AGG_STRING_CONCAT,
     "agg_median_mad": QQ.SQL_AGG_MEDIAN_MAD,
+    "json_variant": QQ.SQL_JSON_VARIANT,
 }
 
 
