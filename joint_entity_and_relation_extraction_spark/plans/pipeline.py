@@ -37,15 +37,21 @@ def _t(out_root: str, name: str) -> str:
 
 def run_pipeline(spark: SparkSession, sf_dir: str, out_root: str,
                  run_id: str = "r0", resume: bool = False,
-                 skew: bool = False, lang: str = "en") -> dict:
-    """Returns {'triples': DataFrame, 'recomputed_langs': [...], 'stats': {...}}."""
+                 skew: bool = False, lang: str = "en",
+                 pages: "DataFrame | None" = None) -> dict:
+    """Returns {'triples': DataFrame, 'recomputed_langs': [...], 'stats': {...}}.
+
+    ``pages`` overrides the input web-page stream (columns url, warc_ts,
+    lang, html) — e.g. a WARC-lite crawl directory read through the
+    sources.warclite data source (jobs/run_pipeline.py --warc-dir).
+    ``sf_dir`` still supplies the linking alias dictionary."""
     stats: dict[str, float] = {}
     t_ext = _t(out_root, "extracted")
     t_triples = _t(out_root, "triples")
     t_lineage = _t(out_root, "lineage")
 
     # ---- stage 1: extraction (partition-resumable on lang) ----------------
-    wp = web_pages(spark, sf_dir, skew=skew)
+    wp = pages if pages is not None else web_pages(spark, sf_dir, skew=skew)
     done_langs: set[str] = set()
     if resume and il.exists(t_ext):
         done_langs = {p["lang"] for p in il.partitions(t_ext) if "lang" in p}

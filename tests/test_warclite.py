@@ -109,3 +109,32 @@ def test_warclite_stream_picks_up_new_segments(spark, tmp_path):
                 b"Content-Language: fr\n\nthree\n")
     got2 = drain("wl2")
     assert got2 == {("u3", b"three")}
+
+
+def test_pipeline_from_crawl_dir_equals_parquet_path(spark, tmp_path):
+    """End-to-end: the FULL KG pipeline run from a WARC-lite crawl
+    directory of the whole fixture corpus must produce the identical
+    canonical triple set as the parquet-backed path (same html bytes →
+    same extraction → same triples) — the real ingestion story."""
+    from pyspark.sql import functions as F
+
+    from joint_entity_and_relation_extraction_spark.operators.webpages import web_pages
+    from joint_entity_and_relation_extraction_spark.plans.pipeline import run_pipeline
+
+    d = str(tmp_path / "crawl")
+    rows = [(r.url, r.warc_ts.isoformat(), r.lang, bytes(r.html))
+            for r in web_pages(spark, SF001)
+            .select("url", "warc_ts", "lang", "html").collect()]
+    W.write_warclite(rows, d, n_files=4)
+    spark.dataSource.register(W.WarcLiteDataSource)
+    pages = (spark.read.format("warclite").option("path", d).load()
+             .withColumn("warc_ts", F.to_timestamp("warc_ts")))
+    res = run_pipeline(spark, SF001, str(tmp_path / "kg_warc"),
+                       run_id="warc1", pages=pages)
+    got = {(r.subj, r.pred, r.obj, r.evidence_count)
+           for r in res["triples"].collect()}
+    ref = run_pipeline(spark, SF001, str(tmp_path / "kg_parq"),
+                       run_id="parq1")
+    want = {(r.subj, r.pred, r.obj, r.evidence_count)
+            for r in ref["triples"].collect()}
+    assert got == want and len(got) > 1000
