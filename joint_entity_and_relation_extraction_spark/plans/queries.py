@@ -2240,3 +2240,55 @@ SELECT event_id,
        CAST(NULL AS VARCHAR) AS missing_val
 FROM events
 """
+
+
+_WARCLITE_CACHE: dict = {}
+
+
+def q_src_warclite_roundtrip(spark, sf):
+    """Driver witness for the WARC-lite Python Data Source (r07, staged
+    for r08): the documents table is written out as a 4-segment crawl
+    drop (deterministic synthetic urls/headers, payload = utf-8 text
+    bytes), read back through the registered datasource, and projected
+    to scalar columns — a hash-green row here means the custom source's
+    partitioning, record splitting, and Arrow batch path reproduce the
+    corpus byte-for-byte. Oracle: the same projection straight off the
+    source table."""
+    import shutil
+    import tempfile
+
+    from ..sources import warclite as W
+
+    key = (spark.sparkContext.applicationId, sf)
+    if key not in _WARCLITE_CACHE:
+        if not _WARCLITE_CACHE:
+            import atexit
+
+            atexit.register(lambda: [
+                shutil.rmtree(root, ignore_errors=True)
+                for root in _WARCLITE_CACHE.values()])
+        for old in [k for k in _WARCLITE_CACHE if k[0] != key[0]]:
+            shutil.rmtree(_WARCLITE_CACHE.pop(old), ignore_errors=True)
+        rows = [(f"https://doc.example/p/{r.doc_id}", "2024-01-01T00:00:00",
+                 r.lang, (r.text or "").encode("utf-8"))
+                for r in read_table(spark, sf, "documents")
+                .select("doc_id", "lang", "text").collect()]
+        root = tempfile.mkdtemp(prefix="jers-warclite-")
+        W.write_warclite(rows, root, n_files=4)
+        _WARCLITE_CACHE[key] = root
+    root = _WARCLITE_CACHE[key]
+    from ..sources.warclite import WarcLiteDataSource
+
+    spark.dataSource.register(WarcLiteDataSource)
+    return (spark.read.format("warclite").option("path", root).load()
+            .select("url", "lang",
+                    F.octet_length("html").cast("bigint").alias("n_bytes"),
+                    F.md5(F.col("html").cast("string")).alias("text_md5")))
+
+
+SQL_SRC_WARCLITE_ROUNDTRIP = """
+SELECT 'https://doc.example/p/' || CAST(doc_id AS VARCHAR) AS url, lang,
+       CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+       MD5(text) AS text_md5
+FROM documents
+"""

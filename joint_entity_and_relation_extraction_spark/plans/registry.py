@@ -456,6 +456,8 @@ PENDING_QUERIES: dict = {
     "agg_median_mad": QQ.q_agg_median_mad,
     # Spark 4 VARIANT semi-structured access (parse once, typed paths)
     "json_variant": QQ.q_json_variant,
+    # WARC-lite Python Data Source round-trip (SRC5 driver witness)
+    "src_warclite_roundtrip": QQ.q_src_warclite_roundtrip,
 }
 
 PENDING_ORACLE: dict[str, str] = {
@@ -472,6 +474,7 @@ PENDING_ORACLE: dict[str, str] = {
     "agg_string_concat": QQ.SQL_AGG_STRING_CONCAT,
     "agg_median_mad": QQ.SQL_AGG_MEDIAN_MAD,
     "json_variant": QQ.SQL_JSON_VARIANT,
+    "src_warclite_roundtrip": QQ.SQL_SRC_WARCLITE_ROUNDTRIP,
 }
 
 
