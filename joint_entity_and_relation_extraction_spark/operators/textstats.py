@@ -608,3 +608,56 @@ SELECT ROUND(REGR_SLOPE(y, x), 6) AS zipf_slope,
        CAST(COUNT(*) AS BIGINT) AS n_points
 FROM top
 """
+
+
+def tfidf_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Per-document tf-idf keyword extraction (r07, staged for r08) —
+    the labeling primitive curation uses for topical routing (BM25
+    above answers "which docs for this query"; this answers "which
+    terms for this doc"). tf = in-doc count, idf = ln(n_docs / df)
+    over distinct-doc frequency; deterministic top-k per doc by
+    (tfidf desc, term).
+
+    Scale shape: one word tally keyed (doc_id, w) — map-side
+    combinable — a df aggregate over its (vocabulary × doc) projection,
+    an equi-join back on the word key, corpus scalar via broadcast
+    single-row cross join, and the standard top-k-per-group window on
+    doc_id. No all-pairs, no Python."""
+    from pyspark.sql import Window
+
+    tf = (read_docs(spark, sf_dir)
+          .select("doc_id", F.explode(_words()).alias("w"))
+          .groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+          .localCheckpoint(eager=False))  # feeds df agg AND the join
+    df = tf.groupBy("w").agg(F.count("*").alias("df"))
+    nd = tf.groupBy().agg(F.countDistinct("doc_id").alias("n_docs"))
+    tfidf = F.round(F.col("tf")
+                    * F.log(F.col("n_docs") / F.col("df")), 6)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term"))
+    return (tf.join(df, "w").crossJoin(F.broadcast(nd))
+            .select("doc_id", F.col("w").alias("term"),
+                    tfidf.alias("tfidf"))
+            .withColumn("rk", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rk") <= k))
+
+
+def sql_tfidf_topk(k: int = 3) -> str:
+    return f"""
+WITH tf AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents
+),
+tfc AS (SELECT doc_id, w, COUNT(*) AS tf FROM tf GROUP BY doc_id, w),
+dfc AS (SELECT w, COUNT(*) AS df FROM tfc GROUP BY w),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tfc)
+SELECT doc_id, term, tfidf, rk FROM (
+  SELECT tfc.doc_id, tfc.w AS term,
+         ROUND(tfc.tf * LN(nd.n_docs / dfc.df), 6) AS tfidf,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY tfc.doc_id
+           ORDER BY ROUND(tfc.tf * LN(nd.n_docs / dfc.df), 6) DESC, tfc.w
+         ) AS BIGINT) AS rk
+  FROM tfc JOIN dfc USING (w), nd
+)
+WHERE rk <= {k}
+"""

@@ -2292,3 +2292,27 @@ SELECT 'https://doc.example/p/' || CAST(doc_id AS VARCHAR) AS url, lang,
        MD5(text) AS text_md5
 FROM documents
 """
+
+
+def q_agg_grouping_id(spark, sf):
+    """GROUPING SETS with grouping_id/grouping markers (r07, staged for
+    r08): the disambiguation columns that make rollup NULLs readable —
+    grouping(col) = 1 marks an aggregated-out dimension, so a NULL data
+    value and a subtotal row are distinguishable. Completes the
+    grouping-sets family next to agg_grouping_sets/rollup/cube."""
+    li = read_table(spark, sf, "lineitem")
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(F.grouping_id().cast("bigint").alias("gid"),
+                 F.grouping("l_returnflag").cast("bigint").alias("g_rf"),
+                 F.grouping("l_linestatus").cast("bigint").alias("g_ls"),
+                 F.count("*").alias("n_rows")))
+
+
+SQL_AGG_GROUPING_ID = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""

@@ -458,6 +458,10 @@ PENDING_QUERIES: dict = {
     "json_variant": QQ.q_json_variant,
     # WARC-lite Python Data Source round-trip (SRC5 driver witness)
     "src_warclite_roundtrip": QQ.q_src_warclite_roundtrip,
+    # per-doc tf-idf keyword extraction (the labeling complement of BM25)
+    "text_tfidf_topk": TS.tfidf_topk,
+    # grouping_id/grouping markers over CUBE (subtotal disambiguation)
+    "agg_grouping_id": QQ.q_agg_grouping_id,
 }
 
 PENDING_ORACLE: dict[str, str] = {
@@ -475,6 +479,8 @@ PENDING_ORACLE: dict[str, str] = {
     "agg_median_mad": QQ.SQL_AGG_MEDIAN_MAD,
     "json_variant": QQ.SQL_JSON_VARIANT,
     "src_warclite_roundtrip": QQ.SQL_SRC_WARCLITE_ROUNDTRIP,
+    "text_tfidf_topk": TS.sql_tfidf_topk(),
+    "agg_grouping_id": QQ.SQL_AGG_GROUPING_ID,
 }
 
 
