@@ -956,18 +956,7 @@ def edit_verify_pairs(spark: SparkSession, sf_dir: str, n: int = 2,
     equi-joins on doc_id against a pruned (doc_id, prefix) projection;
     the pair set is candidate-sized, the corpus is touched once."""
     cand = ngram_jaccard_pairs(spark, sf_dir, n=n, threshold=threshold)
-    pre = read_docs(spark, sf_dir).select(
-        "doc_id", F.substring("text", 1, EDIT_PREFIX).alias("pre"))
-    pa = pre.select(F.col("doc_id").alias("d1"), F.col("pre").alias("p1"))
-    pb = pre.select(F.col("doc_id").alias("d2"), F.col("pre").alias("p2"))
-    dist = F.levenshtein("p1", "p2")
-    sim = F.round(F.lit(1.0) - dist.cast("double")
-                  / F.greatest(F.length("p1"), F.length("p2")), 6)
-    return (cand.join(pa, "d1").join(pb, "d2")
-            .select("d1", "d2", "jaccard",
-                    dist.cast("bigint").alias("edit_dist"),
-                    sim.alias("edit_sim"))
-            .filter(F.col("edit_dist") <= max_dist))
+    return _edit_verify_of(spark, sf_dir, cand, max_dist)
 
 
 def sql_edit_verify_pairs(n: int = 2, threshold: float = 0.2,
@@ -985,3 +974,32 @@ FROM cand JOIN pre a ON cand.d1 = a.doc_id
           JOIN pre b ON cand.d2 = b.doc_id
 WHERE LEVENSHTEIN(a.pre, b.pre) <= {max_dist}
 """
+
+
+def edit_verify_pairs_lsh(spark: SparkSession, sf_dir: str, n: int = 2,
+                          threshold: float = 0.2,
+                          max_dist: int = 40) -> DataFrame:
+    """:func:`edit_verify_pairs` over the MinHash-LSH candidate table —
+    the 100 TB shape (same rationale as graph_degrees_lsh: banded
+    equi-join candidates at ~true-pair cost instead of the
+    O(n·max_df) shingle self-join). Signature-based candidate set →
+    rows-only for the driver; fixture-equality vs the oracled ngram
+    form is pinned in tests (LSH recall is full there)."""
+    cand = minhash_lsh_pairs(spark, sf_dir, n=n, threshold=threshold)
+    return _edit_verify_of(spark, sf_dir, cand, max_dist)
+
+
+def _edit_verify_of(spark: SparkSession, sf_dir: str, cand: DataFrame,
+                    max_dist: int) -> DataFrame:
+    pre = read_docs(spark, sf_dir).select(
+        "doc_id", F.substring("text", 1, EDIT_PREFIX).alias("pre"))
+    pa_ = pre.select(F.col("doc_id").alias("d1"), F.col("pre").alias("p1"))
+    pb_ = pre.select(F.col("doc_id").alias("d2"), F.col("pre").alias("p2"))
+    dist = F.levenshtein("p1", "p2")
+    sim = F.round(F.lit(1.0) - dist.cast("double")
+                  / F.greatest(F.length("p1"), F.length("p2")), 6)
+    return (cand.join(pa_, "d1").join(pb_, "d2")
+            .select("d1", "d2", "jaccard",
+                    dist.cast("bigint").alias("edit_dist"),
+                    sim.alias("edit_sim"))
+            .filter(F.col("edit_dist") <= max_dist))

@@ -24,14 +24,18 @@ def test_pending_pool_is_staged_not_registered():
     """Staging discipline: pending names must be absent from
     all_queries() (a registered query needs a WINDOW seat in the round it
     is written — CLAUDE.md invariant) and every pending query must carry
-    an oracle, so nothing enters the next round rows-only that could be
-    hash-checked."""
+    an oracle UNLESS it is declared rows-only by nature
+    (registry.PENDING_ROWS_ONLY — signature/model-based, pinned by
+    dedicated pytest parity instead), so nothing enters the next round
+    rows-only that COULD be hash-checked."""
     registered = set(registry.all_queries())
     assert not set(registry.PENDING_QUERIES) & registered
-    assert set(registry.PENDING_ORACLE) == set(registry.PENDING_QUERIES)
+    assert set(registry.PENDING_ORACLE) == (
+        set(registry.PENDING_QUERIES) - registry.PENDING_ROWS_ONLY)
+    assert registry.PENDING_ROWS_ONLY <= set(registry.PENDING_QUERIES)
 
 
-@pytest.mark.parametrize("name", sorted(registry.PENDING_QUERIES))
+@pytest.mark.parametrize("name", sorted(registry.PENDING_ORACLE))
 def test_pending_matches_oracle(spark, con, name):
     assert_matches_oracle(
         name, registry.PENDING_QUERIES[name](spark, SF001), con,

@@ -236,3 +236,15 @@ def test_tpch_q5_covers_all_asia_nations(spark):
     assert revs == sorted(revs, reverse=True)
     assert all(r.revenue > 0 for r in rows)
     assert len({r.n_name for r in rows}) == len(rows)
+
+
+def test_edit_verify_lsh_equals_ngram_form(spark):
+    """The LSH-candidate edit verify must emit the same verified pair
+    set as the oracled ngram-candidate form on the fixture (where LSH
+    recall is full) — the same equality pin the graph _lsh variants
+    carry."""
+    a = {(r.d1, r.d2, r.edit_dist)
+         for r in DD.edit_verify_pairs(spark, SF001).collect()}
+    b = {(r.d1, r.d2, r.edit_dist)
+         for r in DD.edit_verify_pairs_lsh(spark, SF001).collect()}
+    assert a == b and a
