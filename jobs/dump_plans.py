@@ -47,6 +47,8 @@ SHOW = [
     "tpch_q5",                # 6-table join, broadcast dim chain
     "funnel_steps",           # chained per-user conditional aggs, 1 shuffle key
     "graph_triangles",        # oriented-edge wedge equi-join
+    "text_tfidf_topk",        # (doc,term) tally + df join + top-k window
+    "json_variant",           # VARIANT parse/get, map-only
 ]
 
 

@@ -9,6 +9,7 @@ surface on a deployed table:
     ... zorder --sort-cols lang,source
     ... rollback --snapshot 4
     ... publish --snapshot 7
+    ... as-of --ts 2026-01-01T00:00:00      (timestamp -> snapshot id)
     ... snapshots | files | partitions      (metadata tables, printed)
 
 Every subcommand is a thin wrapper over sources/iceberglite.py (each
@@ -43,6 +44,9 @@ def main() -> None:
     for name in ("rollback", "publish"):
         p = sub.add_parser(name)
         p.add_argument("--snapshot", type=int, required=True)
+    p = sub.add_parser("as-of")
+    p.add_argument("--ts", required=True,
+                   help="ISO-8601 timestamp to resolve (TIMESTAMP AS OF)")
     for name in ("snapshots", "files", "partitions"):
         sub.add_parser(name)
     args = ap.parse_args()
@@ -56,6 +60,10 @@ def main() -> None:
         return
     if args.op == "publish":
         print(f"published snapshot {il.publish(args.table, args.snapshot)}")
+        return
+    if args.op == "as-of":
+        print(f"as-of {args.ts}: snapshot "
+              f"{il.resolve_as_of(args.table, args.ts)}")
         return
     if args.op == "expire":
         removed = il.expire_snapshots(
