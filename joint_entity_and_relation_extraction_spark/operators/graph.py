@@ -168,16 +168,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str, n: int = 2,
     identical. The checkpointed pair table feeds all three roles."""
     e = (ngram_jaccard_pairs(spark, sf_dir, n=n, threshold=threshold)
          .select("d1", "d2").localCheckpoint(eager=False))
-    ab = e.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
-    bc = e.select(F.col("d1").alias("b"), F.col("d2").alias("c"))
-    ac = e.select(F.col("d1").alias("a"), F.col("d2").alias("c"))
-    tri = ab.join(bc, "b").join(ac, ["a", "c"])
-    per_node = (tri.select(F.col("a").alias("doc_id"))
-                .union(tri.select(F.col("b").alias("doc_id")))
-                .union(tri.select(F.col("c").alias("doc_id")))
-                .groupBy("doc_id")
-                .agg(F.count("*").cast("bigint").alias("n_triangles")))
-    return per_node
+    return _triangles_of(e)
 
 
 def sql_graph_triangles(n: int = 2, threshold: float = 0.2) -> str:
@@ -197,3 +188,26 @@ nodes AS (
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
 FROM nodes GROUP BY doc_id
 """
+
+
+def graph_triangles_lsh(spark: SparkSession, sf_dir: str, n: int = 2,
+                        threshold: float = 0.2) -> DataFrame:
+    """:func:`graph_triangles` over the MinHash-LSH pair table — the
+    100 TB edge base (same rationale as :func:`graph_degrees_lsh`).
+    Signature-based pair set → rows-only; fixture equality vs the
+    oracled ngram form pinned in tests."""
+    e = (minhash_lsh_pairs(spark, sf_dir, n=n, threshold=threshold)
+         .select("d1", "d2").localCheckpoint(eager=False))
+    return _triangles_of(e)
+
+
+def _triangles_of(e: DataFrame) -> DataFrame:
+    ab = e.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+    bc = e.select(F.col("d1").alias("b"), F.col("d2").alias("c"))
+    ac = e.select(F.col("d1").alias("a"), F.col("d2").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    return (tri.select(F.col("a").alias("doc_id"))
+            .union(tri.select(F.col("b").alias("doc_id")))
+            .union(tri.select(F.col("c").alias("doc_id")))
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("n_triangles")))

@@ -462,18 +462,19 @@ PENDING_QUERIES: dict = {
     "text_tfidf_topk": TS.tfidf_topk,
     # grouping_id/grouping markers over CUBE (subtotal disambiguation)
     "agg_grouping_id": QQ.q_agg_grouping_id,
-    # edit verify over the MinHash-LSH candidate table — the 100 TB
-    # candidate base (rows-only by nature: signature-based pair set;
-    # fixture-equality vs the oracled ngram form pytest-pinned)
+    # edit verify / triangles over the MinHash-LSH candidate table —
+    # the 100 TB candidate base (rows-only by nature: signature-based
+    # pair set; fixture-equality vs the oracled ngram forms pinned)
     "dedup_edit_verify_lsh": partial(DD.edit_verify_pairs_lsh,
                                      n=2, threshold=0.2),
+    "graph_triangles_lsh": GR.graph_triangles_lsh,
 }
 
 #: pending entries that are rows-only BY NATURE (signature/model/
 #: sampler-based — no SQL oracle can exist): they still clear the
 #: driver's canon path in tests/test_pending.py, and their correctness
 #: is pinned by dedicated pytest parity gates instead of DuckDB.
-PENDING_ROWS_ONLY = {"dedup_edit_verify_lsh"}
+PENDING_ROWS_ONLY = {"dedup_edit_verify_lsh", "graph_triangles_lsh"}
 
 PENDING_ORACLE: dict[str, str] = {
     "iceberg_metadata_snapshots": QQ.SQL_ICEBERG_METADATA_SNAPSHOTS,

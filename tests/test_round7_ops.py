@@ -248,3 +248,16 @@ def test_edit_verify_lsh_equals_ngram_form(spark):
     b = {(r.d1, r.d2, r.edit_dist)
          for r in DD.edit_verify_pairs_lsh(spark, SF001).collect()}
     assert a == b and a
+
+
+def test_graph_triangles_lsh_equals_ngram_form(spark):
+    """LSH edge-base triangle counts equal the oracled ngram form on the
+    fixture (full LSH recall there) — same pin as the degrees/pagerank
+    _lsh variants."""
+    from joint_entity_and_relation_extraction_spark.operators import graph as G
+
+    a = {(r.doc_id, r.n_triangles)
+         for r in G.graph_triangles(spark, SF001).collect()}
+    b = {(r.doc_id, r.n_triangles)
+         for r in G.graph_triangles_lsh(spark, SF001).collect()}
+    assert a == b and a
