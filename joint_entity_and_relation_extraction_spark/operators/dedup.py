@@ -73,30 +73,42 @@ MAX_SHINGLE_DF = 100
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, n: int = 2,
                         threshold: float = 0.2,
                         max_df: int = MAX_SHINGLE_DF) -> DataFrame:
-    """Candidate pairs via shared-shingle equi-join (shuffle on shingle),
-    Jaccard from per-doc shingle counts — |A∩B| arrives from the join
-    group size, so no array intersection is ever materialized. Shingles
-    with document frequency > max_df are excluded from both the join and
-    the per-doc set sizes, bounding every join group at max_df rows
-    (≤ max_df² pair fragments), which keeps the shuffle O(n·max_df) on
+    """Candidate pairs via shared-shingle grouping, Jaccard from per-doc
+    shingle counts — |A∩B| arrives from the per-pair fragment count, so
+    no array intersection is ever materialized. Shingles with document
+    frequency > max_df are excluded from both the pair generation and
+    the per-doc set sizes, bounding every group at max_df docs
+    (≤ max_df² pair fragments), which keeps the work O(n·max_df) on
     hot-shingle corpora instead of O(hot²).
-    """
+
+    r08 shape (guide §2.3/§2.4): ONE shuffle of the (shingle, doc_id)
+    stream — groupBy shingle collecting the (≤ max_df) sorted doc list —
+    replaces the r07 df-tally + join-back + string-keyed SELF-JOIN,
+    which shuffled the exploded shingle strings three more times (df
+    agg, join rare, both self-join sides re-shuffled off the
+    checkpoint). Pairs are generated INSIDE each group by a codegen'd
+    nested transform over the sorted doc array — exactly the
+    C(group, 2) ordered (d1 < d2) pairs the self-join produced, value-
+    identical (driver hash + oracle unchanged). The grouped doc lists
+    (int arrays, no strings) feed both the pair stream and the per-doc
+    sizes → localCheckpoint (CLAUDE.md shared-subtree invariant)."""
     d = read_docs(spark, sf_dir).select(
         "doc_id", _shingles_expr(n).alias("sh"))
     ex_all = d.select("doc_id", F.explode("sh").alias("shingle"))
-    rare = (ex_all.groupBy("shingle").agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= max_df).select("shingle"))
-    # ex feeds the self-join (both sides) AND the per-doc sizes — three
-    # reads of the explode+df-cap subtree without a checkpoint (measured
-    # 2x whole-op wall at sf0.1; CLAUDE.md shared-subtree invariant)
-    ex = ex_all.join(rare, "shingle").localCheckpoint(eager=False)
-    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = ex.alias("a")
-    b = ex.alias("b")
+    grouped = (ex_all.groupBy("shingle")
+               .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+               .filter(F.size("ds") <= max_df)
+               .select("ds")
+               .localCheckpoint(eager=False))
+    sizes = (grouped.select(F.explode("ds").alias("doc_id"))
+             .groupBy("doc_id").agg(F.count("*").alias("n_sh")))
+    pair_expr = F.expr(
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), "
+        "y -> named_struct('d1', x, 'd2', y))))")
     pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        grouped.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
         .agg(F.count("*").alias("inter"))
     )
     sa = sizes.alias("sa")
@@ -253,16 +265,14 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, n: int = 2,
     """
     # no .persist() on the CORPUS projection: the returned DataFrame is
     # lazy, so a persist here can never be paired with an unpersist and
-    # pins cached blocks for the whole session (round-1 leak). The shingle
-    # projection is recomputed by the verify joins — a narrow scan+split
-    # each time, the only shape that works at 100 TB (caching the corpus
-    # isn't). The BANDED KEYS table is different: 16 rows x 3 longs per
-    # doc (~400 B/doc vs multi-KB docs), consumed by BOTH sides of the
-    # band self-join — without a checkpoint the shingle+minhash UDF runs
-    # 2x extra. localCheckpoint(eager=False) materializes it once on
-    # first use (measured 1.4-1.8x whole-op speedup at sf0.1); blocks are
-    # freed when the lineage is GC'd, not pinned for the session
-    # (VERDICT r02 item 9, measured before applying).
+    # pins cached blocks for the whole session (round-1 leak). The BANDED
+    # KEYS table is 16 rows x 3 longs per doc (~400 B/doc vs multi-KB
+    # docs), consumed by BOTH sides of the band self-join — without a
+    # checkpoint the shingle+minhash UDF runs 2x extra.
+    # localCheckpoint(eager=False) materializes it once on first use
+    # (measured 1.4-1.8x whole-op speedup at sf0.1); blocks are freed
+    # when the lineage is GC'd, not pinned for the session (VERDICT r02
+    # item 9, measured before applying).
     d = read_docs(spark, sf_dir).select(
         "doc_id", _shingles_expr(n).alias("sh"))
     banded = d.select(
@@ -273,16 +283,35 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, n: int = 2,
     b = banded.alias("b")
     # candidate id pairs first — a pair colliding in several bands is
     # deduped BEFORE the (wide) shingle arrays are joined back, so the
-    # band-join shuffle moves only (id, id) rows
+    # band-join shuffle moves only (id, id) rows. Checkpointed: the ids
+    # feed the candidate-doc semi-join AND the verify join (r08, same
+    # shape as minhash_incremental_pairs — CLAUDE.md shared-subtree
+    # invariant).
     cand_ids = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.key") == F.col("b.key"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .dropDuplicates(["d1", "d2"])
+        .localCheckpoint(eager=False)
     )
-    s1 = d.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
-    s2 = d.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
+    # exact-Jaccard verify over CANDIDATE docs only (r08, guide §3.2):
+    # the r07 verify joined both pair sides through the FULL corpus
+    # shingle projection — two more corpus scans + two corpus-wide
+    # shuffles per run. Candidates ≈ true pairs at the chosen (b, r)
+    # S-curve, so the semi-join bounds the shingle recomputation and
+    # both verify joins at O(candidates) while keeping verification
+    # exact — the pair set is unchanged (pytest parity vs the ngram
+    # witness). The candidate shingles feed both verify sides →
+    # localCheckpoint.
+    cand_docs = (cand_ids.select(F.col("d1").alias("doc_id"))
+                 .union(cand_ids.select(F.col("d2").alias("doc_id")))
+                 .dropDuplicates(["doc_id"]))
+    sh = (read_docs(spark, sf_dir).join(cand_docs, "doc_id", "left_semi")
+          .select("doc_id", _shingles_expr(n).alias("sh"))
+          .localCheckpoint(eager=False))
+    s1 = sh.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
+    s2 = sh.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
     cand = cand_ids.join(s1, "d1").join(s2, "d2")
     inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
     union = (F.size("sh1") + F.size("sh2")).cast("double") - inter
@@ -357,8 +386,12 @@ def minhash_incremental_pairs(spark: SparkSession, sf_dir: str, n: int = 2,
     cand_docs = (cand_ids.select(F.col("d1").alias("doc_id"))
                  .union(cand_ids.select(F.col("d2").alias("doc_id")))
                  .dropDuplicates(["doc_id"]))
+    # the candidate shingles feed BOTH verify sides — without a
+    # checkpoint the scan + semi-join + shingle projection runs twice
+    # (r08; CLAUDE.md shared-subtree invariant)
     sh = (docs.join(cand_docs, "doc_id", "left_semi")
-          .select("doc_id", _shingles_expr(n).alias("sh")))
+          .select("doc_id", _shingles_expr(n).alias("sh"))
+          .localCheckpoint(eager=False))
     s1 = sh.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
     s2 = sh.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
     cand = cand_ids.join(s1, "d1").join(s2, "d2")
@@ -462,23 +495,29 @@ def winnow_pairs(spark: SparkSession, sf_dir: str, k: int = 5, w: int = 8,
     fingerprint hashes — the MOSS similarity score numerator; threshold
     with ``min_common`` to cut accidental single-hash collisions.
 
-    Scale shape: fingerprinting is one JVM-side pass (textstats), the
-    pair generation is a self-equi-join on fp_hash with the same
-    document-frequency cap as the shingle join (hot boilerplate
-    fingerprints bound every join group at max_df rows), then a
+    Scale shape: fingerprinting is one JVM-side pass (textstats); pair
+    generation groups the (fp_hash, doc_id) stream ONCE per fingerprint
+    — the same r08 shape as ngram_jaccard_pairs (guide §2.3/§2.4): the
+    df cap bounds every group at max_df docs, in-group pairs come from a
+    codegen'd nested transform over the sorted doc array (exactly the
+    C(group, 2) ordered pairs the r07 df-tally + join-back + self-join
+    produced, at one shuffle of the stream instead of three), then a
     map-side-combinable groupBy count. No Python, no cross join."""
     from .textstats import winnow_fingerprint
 
     fps = (winnow_fingerprint(spark, sf_dir, k=k, w=w)
            .select("doc_id", "fp_hash").distinct())
-    rare = (fps.groupBy("fp_hash").agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= max_df).select("fp_hash"))
-    ex = fps.join(rare, "fp_hash")
-    a, b = ex.alias("a"), ex.alias("b")
+    grouped = (fps.groupBy("fp_hash")
+               .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+               .filter(F.size("ds") <= max_df)
+               .select("ds"))
+    pair_expr = F.expr(
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), "
+        "y -> named_struct('d1', x, 'd2', y))))")
     return (
-        a.join(b, (F.col("a.fp_hash") == F.col("b.fp_hash"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        grouped.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
         .agg(F.count("*").alias("n_common_fp"))
         .filter(F.col("n_common_fp") >= min_common)
     )
@@ -716,11 +755,16 @@ def _gram_positions(spark: SparkSession, sf_dir: str, n: int):
     """(doc_id, pos, g): md5 of the n consecutive words starting at
     1-based word position pos — one whole-stage-codegen projection
     (split → transform over index sequence → slice → md5), then a single
-    posexplode. O(total words) rows, never O(words²)."""
+    posexplode. O(total words) rows, never O(words²). The key is
+    unhex(md5(...)) — the same 128-bit fingerprint as 16 bytes of binary
+    instead of 32 chars of hex (r08, guide §2.3: every downstream
+    shuffle/join of the gram stream moves half the key bytes; unhex is
+    bijective on hex so distinctness — and therefore every count — is
+    unchanged)."""
     d = read_docs(spark, sf_dir)
     grams = F.expr(
         f"transform(sequence(1, size(split(text, ' ')) - {n - 1}), "
-        f"i -> md5(concat_ws(' ', slice(split(text, ' '), i, {n}))))")
+        f"i -> unhex(md5(concat_ws(' ', slice(split(text, ' '), i, {n})))))")
     return (
         d.filter(F.size(F.split("text", " ")) >= n)
         .select("doc_id", F.posexplode(grams).alias("pos0", "g"))
@@ -736,19 +780,29 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str,
     returned. n_words is recovered as n_grams + n - 1 (one gram per word
     position), so the doc text is scanned exactly once.
 
-    Plan shape: grams feed the dup-key aggregate, the flag semi-join AND
-    the per-doc totals — three consumers, so the subtree is
-    localCheckpointed (CLAUDE.md shared-subtree invariant). The dup-key
-    set is data-dependent (can be huge on a crawl corpus), so the join
-    back is a shuffle left-semi on the md5 key, NOT a broadcast.
+    Plan shape (r08, guide §2.3 "aggregate before you shuffle"): the
+    gram stream is reduced ONCE to (g, doc_id, n_pos) — map-side
+    combinable, near-unique keys — and that reduced table feeds the
+    dup-key df tally, the flag semi-join AND the per-doc totals (three
+    consumers → localCheckpoint, CLAUDE.md shared-subtree invariant).
+    The r07 shape ran countDistinct + semi-join + per-doc count each
+    over the FULL gram stream (the countDistinct expanding to the same
+    (g, doc_id) pre-aggregate internally); per-doc counts come back as
+    SUM(n_pos), value-identical. The dup-key set is data-dependent (can
+    be huge on a crawl corpus), so the join back is a shuffle left-semi
+    on the 128-bit key, NOT a broadcast.
     """
-    grams = _gram_positions(spark, sf_dir, n).localCheckpoint(eager=False)
-    dup_keys = (grams.groupBy("g")
-                .agg(F.countDistinct("doc_id").alias("df"))
+    pos_counts = (_gram_positions(spark, sf_dir, n)
+                  .groupBy("g", "doc_id").agg(F.count("*").alias("n_pos"))
+                  .localCheckpoint(eager=False))
+    dup_keys = (pos_counts.groupBy("g")
+                .agg(F.count("*").alias("df"))
                 .filter(F.col("df") >= min_docs).select("g"))
-    per_doc = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
-    dup_per_doc = (grams.join(dup_keys, "g", "left_semi")
-                   .groupBy("doc_id").agg(F.count("*").alias("dup_grams")))
+    per_doc = pos_counts.groupBy("doc_id").agg(
+        F.sum("n_pos").alias("n_grams"))
+    dup_per_doc = (pos_counts.join(dup_keys, "g", "left_semi")
+                   .groupBy("doc_id").agg(
+                       F.sum("n_pos").alias("dup_grams")))
     return (
         dup_per_doc.join(per_doc, "doc_id")
         .select("doc_id",
@@ -991,8 +1045,21 @@ def edit_verify_pairs_lsh(spark: SparkSession, sf_dir: str, n: int = 2,
 
 def _edit_verify_of(spark: SparkSession, sf_dir: str, cand: DataFrame,
                     max_dist: int) -> DataFrame:
-    pre = read_docs(spark, sf_dir).select(
-        "doc_id", F.substring("text", 1, EDIT_PREFIX).alias("pre"))
+    # candidate-scoped prefix table (r08, guide §3.2): the r07 form
+    # joined the candidate pairs against the FULL corpus prefix
+    # projection twice — two corpus-wide shuffles to verify a
+    # candidate-sized pair set. The semi-join prunes the prefix table to
+    # candidate docs first (rows the inner joins would drop anyway —
+    # output identical); the pair table feeds the doc-id union AND the
+    # verify join, the pruned prefixes feed both verify sides → both
+    # localCheckpointed (CLAUDE.md shared-subtree invariant).
+    cand = cand.localCheckpoint(eager=False)
+    cand_docs = (cand.select(F.col("d1").alias("doc_id"))
+                 .union(cand.select(F.col("d2").alias("doc_id")))
+                 .dropDuplicates(["doc_id"]))
+    pre = (read_docs(spark, sf_dir).join(cand_docs, "doc_id", "left_semi")
+           .select("doc_id", F.substring("text", 1, EDIT_PREFIX).alias("pre"))
+           .localCheckpoint(eager=False))
     pa_ = pre.select(F.col("doc_id").alias("d1"), F.col("pre").alias("p1"))
     pb_ = pre.select(F.col("doc_id").alias("d2"), F.col("pre").alias("p2"))
     dist = F.levenshtein("p1", "p2")

@@ -44,16 +44,25 @@ def ann_bruteforce(spark: SparkSession, sf_dir: str, n_queries: int = 8,
                    k: int = 5) -> DataFrame:
     """Exact cosine top-k: broadcast the query vectors, fold the dot
     product JVM-side (zip_with/aggregate in doubles), rank on the rounded
-    similarity with vec_id tie-break so ordering is total."""
+    similarity with vec_id tie-break so ordering is total.
+
+    The corpus side of the scoring cross join is repartitioned to
+    cluster width first (r08): the embeddings parquet is 1-2 files, so
+    the |Q|·|C| interpreted dot-product fold otherwise runs at
+    FILE-granular parallelism — the same invariant as read_docs for
+    expression-heavy stages (sources/io.py); the shuffle moves only the
+    small vector table and is noise next to the stage it parallelizes."""
     e = _with_norm(read_table(spark, sf_dir, "embeddings"))
     q = F.broadcast(
         e.join(F.broadcast(_query_ids(e, n_queries)), "vec_id").select(
             F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
             F.col("norm").alias("qnorm")))
+    corpus = e.repartition(
+        spark.sparkContext.defaultParallelism, F.col("vec_id"))
     cos = F.round(_dot(F.col("qe"), F.col("embedding"))
                   / (F.col("qnorm") * F.col("norm")), 6)
     scored = (
-        q.crossJoin(e)
+        q.crossJoin(corpus)
         .filter(F.col("qid") != F.col("vec_id"))
         .select("qid", F.col("vec_id").alias("nid"), cos.alias("cos"))
     )

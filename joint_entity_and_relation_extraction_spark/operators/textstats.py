@@ -506,12 +506,17 @@ def bigram_logprob(spark: SparkSession, sf_dir: str,
 
     Scale shape: bigrams are built INSIDE the row via zip_with over the
     word array (no positional self-join — a posexplode+join would add a
-    corpus-wide shuffle); the corpus then pays one bigram tally, one
-    unigram tally, and equi-joins back on the (uniformly distributed)
-    word keys. The scalar corpus total rides a broadcast single-row
-    cross join like unigram_logprob's. The words frame feeds the
-    unigram LM and the bigram stream → localCheckpoint (CLAUDE.md
-    two-consumer invariant)."""
+    corpus-wide shuffle). The LM itself is assembled on the
+    VOCABULARY-sized tables (r08, guide §2.3 "shuffle keys and metadata
+    instead of payloads"): bigram counts join unigram counts and the
+    broadcast corpus total into one (w1, w2) → -log2(p) score table, and
+    the corpus bigram stream is then joined back exactly ONCE on that
+    key — the r07 shape joined the full per-occurrence stream three
+    times (big, u1, u2), i.e. three corpus-wide shuffles where one
+    suffices. Per-occurrence nlp values are bit-identical (same
+    expression over the same c12/c1/c2/tot inputs). The words frame
+    feeds the unigram LM and the bigram stream → localCheckpoint
+    (CLAUDE.md two-consumer invariant)."""
     d = (read_docs(spark, sf_dir)
          .select("doc_id", _words().alias("ws"))
          .localCheckpoint(eager=False))  # feeds unigram AND bigram streams
@@ -529,9 +534,10 @@ def bigram_logprob(spark: SparkSession, sf_dir: str,
     u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
     p = (F.lit(lam) * F.col("c12") / F.col("c1")
          + F.lit(1.0 - lam) * F.col("c2") / F.col("tot"))
-    scored = (bg.join(big, ["w1", "w2"]).join(u1, "w1").join(u2, "w2")
-              .crossJoin(F.broadcast(tot))
-              .select("doc_id", (-F.log2(p)).alias("nlp")))
+    lm = (big.join(u1, "w1").join(u2, "w2")
+          .crossJoin(F.broadcast(tot))
+          .select("w1", "w2", (-F.log2(p)).alias("nlp")))
+    scored = bg.join(lm, ["w1", "w2"]).select("doc_id", "nlp")
     return scored.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_bigrams"),
         F.round(F.avg("nlp"), 6).alias("avg_neg_log2p"))

@@ -215,12 +215,30 @@ def test_incremental_dedup_verify_is_candidate_scoped(spark):
     must reach the corpus through a LEFT-SEMI join on the (tiny)
     candidate id set — shingling the whole corpus per batch was 2 extra
     corpus-wide shuffles. The semi-join must sit BELOW the shingle
-    projection, i.e. the verify joins consume the semi-reduced side."""
+    projection, i.e. the verify joins consume the semi-reduced side.
+
+    r08: the candidate shingles are localCheckpointed (they feed both
+    verify sides), which truncates optimizedPlan() at a LogicalRDD and
+    hides the semi-join from this gate — so the gate builds the frame
+    with checkpointing bypassed to assert the actual operator graph
+    (the checkpoint only materializes that graph, it cannot change it).
+    The r08 minhash_lsh_pairs verify gets the same candidate-scoped
+    shape, asserted here too."""
+    from pyspark.sql.classic.dataframe import DataFrame as CDF
+
     from joint_entity_and_relation_extraction_spark.operators import dedup as DD
 
-    df = DD.minhash_incremental_pairs(spark, SF001, n=2, threshold=0.2)
-    p = df._jdf.queryExecution().optimizedPlan().toString()
+    real_ckpt = CDF.localCheckpoint
+    CDF.localCheckpoint = lambda self, eager=True: self
+    try:
+        df = DD.minhash_incremental_pairs(spark, SF001, n=2, threshold=0.2)
+        p = df._jdf.queryExecution().optimizedPlan().toString()
+        full = DD.minhash_lsh_pairs(spark, SF001, n=2, threshold=0.2)
+        p_full = full._jdf.queryExecution().optimizedPlan().toString()
+    finally:
+        CDF.localCheckpoint = real_ckpt
     assert "LeftSemi" in p
+    assert "LeftSemi" in p_full
 
 
 def test_lsh_graph_degrees_plan_is_banded_equi_join(spark):
