@@ -205,7 +205,11 @@ def _triangles_of(e: DataFrame) -> DataFrame:
     ab = e.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
     bc = e.select(F.col("d1").alias("b"), F.col("d2").alias("c"))
     ac = e.select(F.col("d1").alias("a"), F.col("d2").alias("c"))
-    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    # the triangle table feeds all THREE per-corner unions — without a
+    # checkpoint the wedge join + confirm join execute three times
+    # (r08; CLAUDE.md shared-subtree invariant)
+    tri = (ab.join(bc, "b").join(ac, ["a", "c"])
+           .localCheckpoint(eager=False))
     return (tri.select(F.col("a").alias("doc_id"))
             .union(tri.select(F.col("b").alias("doc_id")))
             .union(tri.select(F.col("c").alias("doc_id")))

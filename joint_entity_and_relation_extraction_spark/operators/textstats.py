@@ -521,8 +521,14 @@ def bigram_logprob(spark: SparkSession, sf_dir: str,
          .select("doc_id", _words().alias("ws"))
          .localCheckpoint(eager=False))  # feeds unigram AND bigram streams
     w = d.select("doc_id", F.explode("ws").alias("w"))
-    uni = w.groupBy("w").agg(F.count("*").alias("c"))
-    tot = w.groupBy().agg(F.count("*").alias("tot"))
+    # ONE unigram tally (r08): the vocabulary table feeds both LM sides
+    # (u1, u2) → localCheckpoint; the corpus total is the exact integer
+    # SUM of its counts (vocabulary-sized aggregate), not a third full
+    # pass over the word stream — the r07 shape ran the explode+tally
+    # twice and the global count once more.
+    uni = (w.groupBy("w").agg(F.count("*").alias("c"))
+           .localCheckpoint(eager=False))
+    tot = uni.groupBy().agg(F.sum("c").alias("tot"))
     bg_expr = F.expr(
         "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),"
         " (a, b) -> struct(a as w1, b as w2))")

@@ -92,17 +92,23 @@ def test_range_bucketed_join_is_equi_not_nested_loop(spark):
     assert "HashJoin" in p or "SortMergeJoin" in p
 
 
-def test_winnow_pairs_plan_is_equi_join_with_partial_agg(spark):
-    """The winnowing pair generation must plan as a hash/merge EQUI-join
-    on fp_hash (the d1<d2 dedup is a join condition, not a nested loop)
-    with map-side partial aggregation on the shared-fingerprint count —
-    the shape that keeps it O(n·max_df) at corpus scale."""
+def test_winnow_pairs_plan_is_single_shuffle_in_group_pairs(spark):
+    """r08 winnowing pair generation: ONE shuffle of the fingerprint
+    stream (groupBy fp_hash collecting the df-capped sorted doc list),
+    pairs generated INSIDE each group by a codegen'd nested transform —
+    no join at all (the r07 self-join re-shuffled the stream twice
+    more). Pin: no join of any kind, map-side partial aggregation on
+    BOTH shuffles (partial_collect_list for the grouping,
+    partial_count for the pair count), and the in-group pair expansion
+    present — the shape that keeps it O(n·max_df) at corpus scale."""
     from joint_entity_and_relation_extraction_spark.operators import dedup as DD
 
     p = plan_str(DD.winnow_pairs(spark, SF001))
     assert "NestedLoop" not in p and "Cartesian" not in p
-    assert "HashJoin" in p or "SortMergeJoin" in p
+    assert "Join" not in p  # pair generation is in-group, not a self-join
+    assert "partial_collect_list" in p  # map-side combine on the group pass
     assert "partial_count" in p  # map-side combine before the pair shuffle
+    assert "flatten(transform" in p  # in-group C(n,2) expansion
 
 
 def test_curation_windows_share_one_exchange(spark):
@@ -384,12 +390,25 @@ def test_funnel_single_user_shuffle_chain(spark):
 def test_graph_triangles_is_equi_join_plan(spark):
     """Triangle enumeration must be the oriented-edge wedge plan: hash/
     merge equi-joins over the checkpointed pair table (one ExistingRDD
-    source), never all-pairs."""
+    source), never all-pairs. r08: the triangle table itself is
+    localCheckpointed (three per-corner consumers), which would hide
+    the wedge joins from explain — so the join-shape half of the gate
+    builds the frame with checkpointing bypassed (the checkpoint only
+    materializes the graph, it cannot change it)."""
+    from pyspark.sql.classic.dataframe import DataFrame as CDF
+
     from joint_entity_and_relation_extraction_spark.operators import graph as G
 
     p = plan_str(G.graph_triangles(spark, SF001))
-    assert "Cartesian" not in p and "NestedLoop" not in p
     assert "Scan ExistingRDD" in p
+    real_ckpt = CDF.localCheckpoint
+    CDF.localCheckpoint = lambda self, eager=True: self
+    try:
+        p_full = plan_str(G.graph_triangles(spark, SF001))
+    finally:
+        CDF.localCheckpoint = real_ckpt
+    assert "Cartesian" not in p_full and "NestedLoop" not in p_full
+    assert "Join" in p_full  # the wedge + confirm equi-joins
 
 
 def test_aqe_skew_join_splits_hot_partition(spark):
