@@ -43,6 +43,22 @@ def build_session(
         # those stages at ~defaultParallelism while leaving byte-heavy
         # shuffles governed by the advisory size as before.
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
+        # InferFiltersFromGenerate + predicate pushdown TRIPLES the
+        # evaluation of every computed array that feeds an explode: the
+        # inferred `size(e) > 0 AND isnotnull(e)` guard is substituted
+        # with the full generator expression and pushed below the
+        # repartition — so the shingle/gram/bigram projections ran 3x
+        # per doc, at FILE-granular parallelism (the testdata parquet is
+        # 1-2 files). Measured r08 (bench_extra, sf0.1, noop): the ngram
+        # shingle explode alone 2.28s -> 0.06s once the guard is gone.
+        # The filters are semantically redundant for explode/posexplode
+        # (a generator emits nothing for null/empty input), so results
+        # are bit-identical; the rule only helps when the generator
+        # child is a cheap column whose emptiness prunes other work —
+        # never our shape (the expression IS the work).
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer."
+                "InferFiltersFromGenerate")
         # shuffle width: ~2x cores locally; AQE coalesces down
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 2 * cores))
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
