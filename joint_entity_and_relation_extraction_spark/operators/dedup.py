@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import pandas as pd
 import numpy as np
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
@@ -70,6 +70,41 @@ FROM documents GROUP BY MD5(text)
 MAX_SHINGLE_DF = 100
 
 
+def _capped_groups(ex: DataFrame, key: str, max_df: int) -> DataFrame:
+    """(key, doc_id) stream → one `ds` column holding each key's sorted
+    doc list, keys with document frequency > max_df dropped — in ONE
+    exchange of the stream, with every buffer BOUNDED.
+
+    A plain ``groupBy(key).agg(collect_list(...)).filter(size <= max_df)``
+    has the right plan shape but materializes HOT groups in the
+    aggregation buffer before discarding them — a stop-word shingle at
+    crawl scale is an unbounded in-memory array on one reducer (the same
+    class of bug as the round-1 quadratic join group, one level down).
+    Instead the stream is truncated with ``row_number() <= max_df + 1``
+    under the same partitioning BEFORE the aggregate:
+
+    - Spark plans the rank filter as `WindowGroupLimit` with a PARTIAL
+      pass BELOW the exchange, so a hot key ships at most max_df + 1
+      rows per map task instead of its full posting list;
+    - the window sort is disk-spillable (UnsafeExternalSorter) where an
+      aggregation buffer is not;
+    - the groupBy reuses the window's hash partitioning — still exactly
+      ONE exchange — and its collect_list buffers are bounded at
+      max_df + 1 elements by the rank filter above;
+    - a truncated group reaching max_df + 1 rows is exactly a group
+      whose TRUE df exceeds max_df (kept groups are untruncated), so
+      `size(ds) <= max_df` keeps precisely the groups the plain form
+      kept, with identical complete doc lists. Verified value-identical
+      at sf0.1 (pair multiset equality) + driver parity suites."""
+    w = Window.partitionBy(key).orderBy("doc_id")
+    return (ex.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= max_df + 1)
+            .groupBy(key)
+            .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+            .filter(F.size("ds") <= max_df)
+            .select("ds"))
+
+
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, n: int = 2,
                         threshold: float = 0.2,
                         max_df: int = MAX_SHINGLE_DF) -> DataFrame:
@@ -91,15 +126,13 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, n: int = 2,
     C(group, 2) ordered (d1 < d2) pairs the self-join produced, value-
     identical (driver hash + oracle unchanged). The grouped doc lists
     (int arrays, no strings) feed both the pair stream and the per-doc
-    sizes → localCheckpoint (CLAUDE.md shared-subtree invariant)."""
+    sizes → localCheckpoint (CLAUDE.md shared-subtree invariant).
+    Hot-key memory safety: see :func:`_capped_groups`."""
     d = read_docs(spark, sf_dir).select(
         "doc_id", _shingles_expr(n).alias("sh"))
     ex_all = d.select("doc_id", F.explode("sh").alias("shingle"))
-    grouped = (ex_all.groupBy("shingle")
-               .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
-               .filter(F.size("ds") <= max_df)
-               .select("ds")
-               .localCheckpoint(eager=False))
+    grouped = _capped_groups(ex_all, "shingle", max_df).localCheckpoint(
+        eager=False)
     sizes = (grouped.select(F.explode("ds").alias("doc_id"))
              .groupBy("doc_id").agg(F.count("*").alias("n_sh")))
     pair_expr = F.expr(
@@ -507,10 +540,7 @@ def winnow_pairs(spark: SparkSession, sf_dir: str, k: int = 5, w: int = 8,
 
     fps = (winnow_fingerprint(spark, sf_dir, k=k, w=w)
            .select("doc_id", "fp_hash").distinct())
-    grouped = (fps.groupBy("fp_hash")
-               .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
-               .filter(F.size("ds") <= max_df)
-               .select("ds"))
+    grouped = _capped_groups(fps, "fp_hash", max_df)
     pair_expr = F.expr(
         "flatten(transform(ds, (x, i) -> "
         "transform(slice(ds, i + 2, size(ds)), "

@@ -106,9 +106,36 @@ def test_winnow_pairs_plan_is_single_shuffle_in_group_pairs(spark):
     p = plan_str(DD.winnow_pairs(spark, SF001))
     assert "NestedLoop" not in p and "Cartesian" not in p
     assert "Join" not in p  # pair generation is in-group, not a self-join
-    assert "partial_collect_list" in p  # map-side combine on the group pass
     assert "partial_count" in p  # map-side combine before the pair shuffle
     assert "flatten(transform" in p  # in-group C(n,2) expansion
+    # hot-key memory safety (_capped_groups): the df-cap must truncate
+    # via WindowGroupLimit — with a PARTIAL pass below the exchange (a
+    # hot key then ships <= max_df + 1 rows per map task) — so no
+    # aggregation buffer ever materializes a hot group
+    assert "WindowGroupLimit" in p
+    import re
+    assert re.search(r"WindowGroupLimit .*row_number\(\), \d+, Partial", p)
+
+
+def test_ngram_pairs_capped_groups_are_memory_bounded(spark):
+    """Same _capped_groups witness for the ngram shingle path (the base
+    of graph_degrees/pagerank/triangles and the dedup consumers):
+    WindowGroupLimit truncation present, no string self-join. The
+    grouped table is localCheckpointed (feeds pairs AND sizes), so the
+    gate builds the frame with checkpointing bypassed to see the full
+    operator graph."""
+    from pyspark.sql.classic.dataframe import DataFrame as CDF
+
+    from joint_entity_and_relation_extraction_spark.operators import dedup as DD
+
+    real_ckpt = CDF.localCheckpoint
+    CDF.localCheckpoint = lambda self, eager=True: self
+    try:
+        p = plan_str(DD.ngram_jaccard_pairs(spark, SF001))
+    finally:
+        CDF.localCheckpoint = real_ckpt
+    assert "WindowGroupLimit" in p
+    assert "partial_count" in p
 
 
 def test_curation_windows_share_one_exchange(spark):
